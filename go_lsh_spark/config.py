@@ -1,0 +1,154 @@
+"""Configuration dataclasses mirroring the reference's config/options surface.
+
+Reference parity:
+  * LSHConfig      <- configs.LSHConfigs   (/root/reference/configs/lshconfigs.go:32-79)
+  * SearchOptions  <- options.Search       (/root/reference/options/searchoptions.go:26-62)
+  * error messages mirror the Go error values
+    (configs/lshconfigs.go:15-22, options/searchoptions.go:7-11)
+
+DedupConfig is the BASELINE.json extension (banded 64-bit SimHash +
+MinHash-over-shingles + clustering knobs); it has no reference citation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+MAX_NUM_HYPERPLANES = 16  # bucket key is uint16 in the reference (configs/lshconfigs.go:10-13)
+
+# Sign filter values (options/searchoptions.go:19-23)
+SIGN_FILTER_POS = 1
+SIGN_FILTER_NEG = -1
+SIGN_FILTER_ANY = 0
+
+ALL_LAGS = -1  # options/searchoptions.go:14
+
+
+@dataclass(frozen=True)
+class LSHConfig:
+    """LSH hyper-parameters. Defaults mirror configs/lshconfigs.go:42-51.
+
+    In classic banding terms one table == one band with num_hyperplanes bits
+    per band. ``independent_tables=True`` draws a separate plane set per table
+    (bit-exact with the reference's construction, lsh/lsh.go:42-49);
+    ``False`` draws num_tables*num_hyperplanes planes once and slices a single
+    wide signature into disjoint bit ranges (the banded-SimHash form used by
+    the dedup pipeline -- identical per-band collision probability p^r).
+    """
+
+    num_hyperplanes: int = 8
+    num_tables: int = 128
+    vector_length: int = 3
+    sample_period: int = 60
+    row_size: int = 7200
+    seed: int = 42  # reference uses unseeded global rand (hyperplanes/hyperplanes.go:39); we pin
+    independent_tables: bool = True
+    normalize: bool = True  # TFunc = L2 normalize (configs/lshconfigs.go:26-29)
+
+    def __post_init__(self) -> None:
+        self.validate()
+
+    def validate(self) -> None:
+        """Mirror configs.Validate (configs/lshconfigs.go:54-79)."""
+        if self.num_hyperplanes < 1:
+            raise ValueError("invalid number of hyperplanes, must be at least 1")
+        if self.num_hyperplanes > MAX_NUM_HYPERPLANES:
+            raise ValueError(
+                f"number of hyperplanes exceeded max of, {MAX_NUM_HYPERPLANES}"
+            )
+        if self.num_tables < 1:
+            raise ValueError("invalid number of tables, must be at least 1")
+        if self.vector_length < 1:
+            raise ValueError("invalid vector length, must be at least 1")
+        if self.sample_period < 1:
+            raise ValueError("invalid sample period, must be at least 1")
+        if self.row_size < 1:
+            raise ValueError("invalid row size, must be at least 1")
+
+    @property
+    def total_bits(self) -> int:
+        return self.num_hyperplanes * self.num_tables
+
+    def with_(self, **kwargs) -> "LSHConfig":
+        return replace(self, **kwargs)
+
+
+@dataclass
+class SearchOptions:
+    """Per-search options. Defaults mirror options.NewDefaultSearch
+    (options/searchoptions.go:55-62)."""
+
+    num_to_return: int = 10
+    threshold: float = 0.85
+    sign_filter: int = SIGN_FILTER_ANY
+    max_lag: int = 900
+
+    def validate(self) -> "SearchOptions":
+        """Mirror options.Search.Validate (options/searchoptions.go:34-52).
+
+        Note the reference *clamps* max_lag < -1 to AllLags rather than
+        erroring; we preserve that.
+        """
+        if self.num_to_return < 1:
+            raise ValueError("invalid NumToReturn, must be at least 1")
+        if self.threshold < 0 or self.threshold > 1:
+            raise ValueError("invalid threshold, must be between 0 and 1 inclusive")
+        if self.sign_filter not in (SIGN_FILTER_ANY, SIGN_FILTER_NEG, SIGN_FILTER_POS):
+            raise ValueError("invalid sign filter, must be any, neg, or pos")
+        if self.max_lag < ALL_LAGS:
+            self.max_lag = ALL_LAGS
+        return self
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """BASELINE.json extension: banded 64-bit SimHash + MinHash + clustering.
+
+    num_bands * rows_per_band must be <= 64 (single LongType signature).
+    """
+
+    # SimHash over audio feature vectors
+    num_bands: int = 8
+    rows_per_band: int = 8
+    feature_dim: int = 16
+    seed: int = 42
+    # verification thresholds (reference `passed`, results/results.go:35-40,
+    # applied to the cosine/Pearson of feature vectors)
+    threshold: float = 0.85
+    max_hamming: int = 8  # cheap pre-filter on full 64-bit signatures
+    # MinHash over transcript shingles
+    shingle_k: int = 5  # character shingles
+    num_perm: int = 64
+    minhash_bands: int = 16  # 16 bands x 4 rows
+    jaccard_threshold: float = 0.7
+    # suffix-array substring verification
+    min_common_substring: int = 30
+    # skew handling
+    max_bucket_size: int = 2048  # split larger buckets with triangle salting
+    salt_factor: int = 8
+    # connected components
+    max_cc_iterations: int = 20
+
+    def __post_init__(self) -> None:
+        if self.num_bands * self.rows_per_band > 64:
+            raise ValueError("num_bands * rows_per_band must be <= 64")
+        if self.num_perm % self.minhash_bands != 0:
+            raise ValueError("num_perm must be divisible by minhash_bands")
+
+    @property
+    def sig_bits(self) -> int:
+        return self.num_bands * self.rows_per_band
+
+    @property
+    def minhash_rows(self) -> int:
+        return self.num_perm // self.minhash_bands
+
+    def lsh_config(self, vector_length: int | None = None) -> LSHConfig:
+        """The equivalent banded LSHConfig (one band == one table)."""
+        return LSHConfig(
+            num_hyperplanes=self.rows_per_band,
+            num_tables=self.num_bands,
+            vector_length=vector_length or self.feature_dim,
+            seed=self.seed,
+            independent_tables=False,
+        )

