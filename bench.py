@@ -1,0 +1,103 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "clips_per_sec": ..., "n_clips": ...}
+
+The headline metric is the BASELINE.json one: clips/sec end-to-end dedup
+throughput on the deterministic synthetic audio+transcript corpus, plus the
+per-operator query timings over the driver's parquet tables.
+
+Scaling evidence (N vs 4N cores) is produced by tools/scaling_bench.py which
+runs this same dedup job at local[8] and local[32] in separate JVMs and
+writes BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_CLIPS_BENCH = int(os.environ.get("BENCH_N_CLIPS", "2000"))
+
+
+def run_dedup(spark, n_clips: int) -> tuple[float, int]:
+    """End-to-end dedup: synth -> features -> signatures -> buckets ->
+    pairs -> verify -> connected components -> clusters.count()."""
+    from go_lsh_spark.config import DedupConfig
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+    synth = synth_clips(n_clips=n_clips, seed=42)
+    clips, _ = clips_to_spark(spark, synth)
+    clips = clips.cache()
+    clips.count()  # materialize input outside the timed section
+    t0 = time.time()
+    result = dedup_pipeline(spark, clips, DedupConfig())
+    n = result.clusters.count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from go_lsh_spark.session import build_session
+
+    spark = build_session(
+        app_name="go-lsh-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from go_lsh_spark.entry_queries import QUERIES
+
+    headline = [
+        "simhash_buckets",
+        "bucket_join_pairs",
+        "pearson_scores",
+        "topk_cosine",
+        "ann_lsh",
+        "minhash_signatures",
+        "ngram_jaccard_pairs",
+        "exact_dedup",
+        "token_counts",
+        "row_index_pruning",
+    ]
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    dedup_secs, _n_clusters = run_dedup(spark, N_CLIPS_BENCH)
+    timings["audio_dedup_e2e"] = round(dedup_secs, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_clips": N_CLIPS_BENCH,
+                "clips_per_sec": round(N_CLIPS_BENCH / dedup_secs, 1),
+                "cpus": int(cpus),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,105 @@
+"""spark-submit entry point (BASELINE.json: launched via
+`spark-submit --py-files go_lsh_spark.zip cli.py <cmd>` on multi-executor
+clusters; on local mode the session factory builds local[N]).
+
+Commands:
+  synth  --out DIR --n-clips N            write a deterministic clips table
+  dedup  --clips DIR --warehouse DIR      run the checkpointed pipeline
+  search --docs PARQUET --vector CSV      one LSH search over a documents table
+  stats                                   print the false-negative curve
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="go-lsh-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--n-clips", type=int, default=1000)
+    sp.add_argument("--seed", type=int, default=42)
+
+    dp = sub.add_parser("dedup")
+    dp.add_argument("--clips", required=True)
+    dp.add_argument("--warehouse", required=True)
+    dp.add_argument("--threshold", type=float, default=0.85)
+
+    qp = sub.add_parser("search")
+    qp.add_argument("--docs", required=True)
+    qp.add_argument("--vector", required=True, help="comma-separated floats")
+    qp.add_argument("--index", type=int, default=0)
+    qp.add_argument("--k", type=int, default=10)
+    qp.add_argument("--threshold", type=float, default=0.85)
+    qp.add_argument("--sign", type=int, default=0)
+    qp.add_argument("--max-lag", type=int, default=900)
+
+    sub.add_parser("stats")
+
+    args = p.parse_args(argv)
+
+    from go_lsh_spark.config import DedupConfig, LSHConfig, SearchOptions
+    from go_lsh_spark.session import build_session
+
+    if args.cmd == "stats":
+        from go_lsh_spark.oracle import compute_stats
+
+        print(json.dumps(compute_stats(LSHConfig(), 0), indent=2))
+        return 0
+
+    spark = build_session(app_name=f"go-lsh-spark-{args.cmd}")
+    try:
+        if args.cmd == "synth":
+            from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+            res = synth_clips(n_clips=args.n_clips, seed=args.seed)
+            df, truth = clips_to_spark(spark, res)
+            df.write.mode("overwrite").parquet(f"{args.out}/clips")
+            truth.write.mode("overwrite").parquet(f"{args.out}/truth")
+            print(json.dumps({"written": args.n_clips, "out": args.out}))
+        elif args.cmd == "dedup":
+            from go_lsh_spark.operators.dedup import dedup_pipeline
+            from go_lsh_spark.sources.catalog import Warehouse
+
+            clips = spark.read.parquet(args.clips)
+            wh = Warehouse(spark, args.warehouse)
+            res = dedup_pipeline(
+                spark, clips, DedupConfig(threshold=args.threshold), warehouse=wh
+            )
+            n = res.clusters.count()
+            print(json.dumps({"clusters_rows": n, "stages": wh.metrics()}, indent=2))
+        elif args.cmd == "search":
+            from go_lsh_spark.engine import SparkLSH
+
+            docs = spark.read.parquet(args.docs)
+            vec = [float(x) for x in args.vector.split(",")]
+            # vector_length is a property of the *index*, not the query
+            # (configs/lshconfigs.go:46): infer from the docs table so a
+            # wrong-length query raises ErrInvalidDocument instead of
+            # silently rejecting every document
+            first = docs.select("vector").first()
+            cfg = LSHConfig(vector_length=len(first["vector"]) if first else len(vec))
+            eng = SparkLSH(spark, cfg).index(docs)
+            scores, n_scored = eng.search(
+                vec,
+                args.index,
+                SearchOptions(
+                    num_to_return=args.k,
+                    threshold=args.threshold,
+                    sign_filter=args.sign,
+                    max_lag=args.max_lag,
+                ),
+            )
+            print(json.dumps({"scores": scores, "num_scored": n_scored}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

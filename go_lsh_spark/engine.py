@@ -72,7 +72,18 @@ class SparkLSH:
             [(0, int(index), [float(x) for x in vector])],
             "query_id long, index long, vector array<double>",
         )
-        res = self.search_df(q, opts)
+        opts = (opts or SearchOptions()).validate()
+        buckets = self.buckets
+        if opts.max_lag >= 0:
+            # literal row-range prefilter: with the query index known
+            # driver-side this pushes to the scan as a partition/parquet
+            # filter (the reference's row enumeration, tables/tables.go:
+            # 113-122, as static pruning)
+            rs = self.cfg.row_size
+            start_row = int((index - opts.max_lag) / rs) * rs
+            end_row = int((index + opts.max_lag) / rs) * rs
+            buckets = buckets.filter(F.col("row_index").between(start_row, end_row))
+        res = S.search(q, buckets, self.forward, self.cfg, self.planes, opts)
         rows = res.scores.orderBy("rank").collect()
         num_scored = res.candidates.count()
         return (

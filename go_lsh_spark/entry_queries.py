@@ -1,0 +1,760 @@
+"""Driver-contract queries: each SURVEY.md §2 operator (and the
+training-data extensions) as a (spark, sf_dir) -> DataFrame callable plus,
+where SQL-expressible, a DuckDB oracle string computing the same result.
+
+Design constraints:
+  * column names and aliases match between Spark and SQL (driver hashes
+    values after sorting columns by name)
+  * floating-point outputs are rounded to 6 decimals on BOTH sides
+  * the hash plane matrix is a shared literal (seeded PlaneSet) embedded in
+    the SQL string, so both engines hash identically
+  * every query reads only the driver's parquet tables (TESTDATA.md); the
+    audio queries synthesize their clips in-process (deterministic, seeded)
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from go_lsh_spark.config import DedupConfig, LSHConfig
+from go_lsh_spark.functions import text as T
+from go_lsh_spark.functions import vector as V
+from go_lsh_spark.hyperplanes import PlaneSet
+
+# -- shared hash config (embeddings are 64-dim float) ------------------------
+EMB_DIM = 64
+N_TABLES = 2
+N_HYPER = 8
+SEED = 42
+
+THRESHOLD = 0.2  # embeddings are weakly clustered; 0.2 keeps ~15% of pairs
+TOPK = 5
+N_QUERIES = 20
+
+
+@lru_cache(maxsize=1)
+def _planes() -> np.ndarray:
+    """(T, H, V) tensor shared by the Spark pipeline and the SQL oracle."""
+    cfg = LSHConfig(
+        num_hyperplanes=N_HYPER,
+        num_tables=N_TABLES,
+        vector_length=EMB_DIM,
+        seed=SEED,
+        independent_tables=False,
+    )
+    return PlaneSet(cfg).tensor
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _emb_double(df: DataFrame) -> DataFrame:
+    return df.withColumn("emb", F.col("embedding").cast("array<double>"))
+
+
+def _plane_lit(plane: np.ndarray) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in plane])
+
+
+def _dot_plane(emb, plane: np.ndarray):
+    return V.dot(emb, _plane_lit(plane))
+
+
+def _hash_col(emb, t: int):
+    """Bucket hash of table t: bit i set iff dot(plane_{t,i}, v) > 0, MSB
+    first (hyperplanes/hyperplanes.go:103-128). L2-normalizing first is a
+    sign-hash no-op, so both engines skip it."""
+    planes = _planes()
+    acc = F.lit(0)
+    for i in range(N_HYPER):
+        bit = 1 << (N_HYPER - 1 - i)
+        acc = acc + F.when(_dot_plane(emb, planes[t, i]) > 0.0, F.lit(bit)).otherwise(F.lit(0))
+    return acc
+
+
+def _sql_plane_list(plane: np.ndarray) -> str:
+    return "[" + ",".join(repr(float(x)) for x in plane) + "]"
+
+
+def _sql_dot(emb_expr: str, plane: np.ndarray) -> str:
+    return f"list_dot_product({emb_expr}, {_sql_plane_list(plane)})"
+
+
+def _sql_hash(emb_expr: str, t: int) -> str:
+    planes = _planes()
+    terms = [
+        f"(CASE WHEN {_sql_dot(emb_expr, planes[t, i])} > 0.0 THEN {1 << (N_HYPER - 1 - i)} ELSE 0 END)"
+        for i in range(N_HYPER)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SQL_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+# ---------------------------------------------------------------------------
+# O2/O4: signature construction over the embeddings table
+# ---------------------------------------------------------------------------
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    parts = [
+        emb.select(
+            "vec_id",
+            F.lit(t).alias("table_id"),
+            _hash_col(F.col("emb"), t).alias("hash"),
+        )
+        for t in range(N_TABLES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def sql_simhash_buckets() -> str:
+    selects = [
+        f"SELECT vec_id, {t} AS table_id, {_sql_hash(_SQL_EMB, t)} AS hash FROM embeddings"
+        for t in range(N_TABLES)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+# ---------------------------------------------------------------------------
+# O7/O8: bucket-join candidate pairs (all-pairs dedup form)
+# ---------------------------------------------------------------------------
+
+
+def q_bucket_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = q_simhash_buckets(spark, sf_dir)
+    return (
+        b.alias("a")
+        .join(
+            b.alias("b"),
+            [
+                F.col("a.table_id") == F.col("b.table_id"),
+                F.col("a.hash") == F.col("b.hash"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+        .distinct()
+    )
+
+
+def sql_bucket_join_pairs() -> str:
+    return f"""
+    WITH buckets AS ({sql_simhash_buckets()})
+    SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+    FROM buckets a JOIN buckets b
+      ON a.table_id = b.table_id AND a.hash = b.hash AND a.vec_id < b.vec_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# O10/O11: Pearson scoring + threshold/sign predicate
+# ---------------------------------------------------------------------------
+
+
+def _pairs_with_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    pairs = q_bucket_join_pairs(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
+    return (
+        pairs.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(V.pearson("emb_a", "emb_b"), 6).alias("score"),
+        )
+    )
+
+
+def q_pearson_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs_with_scores(spark, sf_dir)
+
+
+_SQL_PEARSON = """
+    (list_dot_product(a.embd, b.embd) - list_sum(a.embd) * list_sum(b.embd) / 64.0)
+    / ( sqrt(list_dot_product(a.embd, a.embd) - list_sum(a.embd) * list_sum(a.embd) / 64.0)
+      * sqrt(list_dot_product(b.embd, b.embd) - list_sum(b.embd) * list_sum(b.embd) / 64.0) )
+"""
+
+
+def sql_pearson_scores() -> str:
+    return f"""
+    WITH buckets AS ({sql_simhash_buckets()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM buckets a JOIN buckets b
+        ON a.table_id = b.table_id AND a.hash = b.hash AND a.vec_id < b.vec_id
+    ),
+    embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings)
+    SELECT p.vec_id_a, p.vec_id_b, ROUND({_SQL_PEARSON}, 6) AS score
+    FROM pairs p JOIN embd a ON p.vec_id_a = a.vec_id
+                 JOIN embd b ON p.vec_id_b = b.vec_id
+    """
+
+
+def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # results/results.go:35-40 with SignFilter_POS
+    return _pairs_with_scores(spark, sf_dir).filter(
+        (F.abs(F.col("score")) >= THRESHOLD) & (F.col("score") > 0)
+    )
+
+
+def sql_threshold_filter() -> str:
+    return f"""
+    WITH scored AS ({sql_pearson_scores()})
+    SELECT * FROM scored WHERE ABS(score) >= {THRESHOLD} AND score > 0
+    """
+
+
+# ---------------------------------------------------------------------------
+# O12/O13: per-query top-K with the reference's tie order
+# ---------------------------------------------------------------------------
+
+
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-K neighbors for query ids < N_QUERIES
+    (the ANN baseline; O12 window top-K)."""
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    scored = (
+        q.crossJoin(cand)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine("qemb", "cemb"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sql_topk_cosine() -> str:
+    return f"""
+    WITH embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.embd, c.embd)
+               / (sqrt(list_dot_product(q.embd, q.embd)) * sqrt(list_dot_product(c.embd, c.embd))), 6)
+               AS cos_sim
+      FROM embd q JOIN embd c ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to bucket collisions (the
+    scale path; brute-force cross join above is the small-N baseline)."""
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    b = q_simhash_buckets(spark, sf_dir)
+    qb = b.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id", "hash"
+    )
+    cands = (
+        qb.join(b.withColumnRenamed("vec_id", "neighbor_id"), ["table_id", "hash"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
+    eb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    scored = (
+        cands.join(ea, "query_id")
+        .join(eb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(V.cosine("qemb", "cemb"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sql_ann_lsh() -> str:
+    return f"""
+    WITH buckets AS ({sql_simhash_buckets()}),
+    cands AS (
+      SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+      FROM buckets a JOIN buckets b
+        ON a.table_id = b.table_id AND a.hash = b.hash
+       AND a.vec_id < {N_QUERIES} AND a.vec_id != b.vec_id
+    ),
+    embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
+    scored AS (
+      SELECT c.query_id, c.neighbor_id,
+             ROUND(list_dot_product(q.embd, n.embd)
+               / (sqrt(list_dot_product(q.embd, q.embd)) * sqrt(list_dot_product(n.embd, n.embd))), 6)
+               AS cos_sim
+      FROM cands c JOIN embd q ON c.query_id = q.vec_id
+                   JOIN embd n ON c.neighbor_id = n.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
+# ---------------------------------------------------------------------------
+# O6: delete (anti-join)
+# ---------------------------------------------------------------------------
+
+
+def q_delete_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    deleted = emb.filter(F.col("vec_id") % 17 == 0).select("vec_id")
+    remaining = emb.join(deleted, "vec_id", "left_anti")
+    return remaining.groupBy("label").agg(F.count(F.lit(1)).alias("n")).orderBy("label")
+
+
+def sql_delete_antijoin() -> str:
+    return """
+    SELECT label, COUNT(*) AS n FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE vec_id % 17 = 0)
+    GROUP BY label ORDER BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# O9: sign-filter duality (pos + negated-query hash branches)
+# ---------------------------------------------------------------------------
+
+
+def q_sign_dual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of the positive and negated-query bucket keys (lsh/lsh.go:
+    163-166): per vec_id the distinct {hash(v), hash(-v)} set for table 0."""
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    neg = emb.withColumn("emb", F.transform("emb", lambda x: -x))
+    pos_h = emb.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
+    neg_h = neg.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
+    return pos_h.unionByName(neg_h).distinct()
+
+
+def sql_sign_dual_buckets() -> str:
+    neg_emb = "list_transform(embedding, x -> CAST(-x AS DOUBLE))"
+    return f"""
+    SELECT DISTINCT vec_id, hash FROM (
+      SELECT vec_id, {_sql_hash(_SQL_EMB, 0)} AS hash FROM embeddings
+      UNION ALL
+      SELECT vec_id, {_sql_hash(neg_emb, 0)} AS hash FROM embeddings
+    )
+    """
+
+
+# ---------------------------------------------------------------------------
+# O15: stats curve
+# ---------------------------------------------------------------------------
+
+
+def q_stats_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # H=8, T=128 false-negative curve (lsh/lsh.go:277-282)
+    thetas = spark.range(8).select(
+        (F.lit(0.60) + F.col("id") * F.lit(0.05)).alias("threshold")
+    )
+    psame = F.lit(1.0) - F.lit(2.0) / F.lit(float(np.pi)) * F.acos(F.col("threshold"))
+    prob = F.pow(F.lit(1.0) - F.pow(psame, F.lit(8.0)), F.lit(128.0))
+    return thetas.select(
+        F.round("threshold", 2).alias("threshold"), F.round(prob, 6).alias("probability")
+    )
+
+
+def sql_stats_curve() -> str:
+    return """
+    SELECT ROUND(CAST(0.60 + i * 0.05 AS DOUBLE), 2) AS threshold,
+           ROUND(POW(1.0 - POW(1.0 - 2.0 / PI() * ACOS(CAST(0.60 + i * 0.05 AS DOUBLE)), 8.0), 128.0), 6) AS probability
+    FROM (SELECT UNNEST(range(0, 8)) AS i)
+    """
+
+
+# ---------------------------------------------------------------------------
+# O7 lag/row pruning semantics on the events table
+# ---------------------------------------------------------------------------
+
+
+def q_row_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row bucketing + lag window (tables/tables.go:77,109-127): events per
+    7200s row bucket within +/-86400s of the corpus midpoint."""
+    ev = _read(spark, sf_dir, "events").withColumn(
+        "idx", F.unix_timestamp("ts").cast("long")
+    )
+    pivot = ev.agg(
+        ((F.min("idx") + F.max("idx")) / 2).cast("long").alias("p")
+    ).collect()[0]["p"]
+    lag = 86400
+    filtered = ev.filter(F.col("idx").between(pivot - lag, pivot + lag))
+    return (
+        filtered.withColumn("row_index", V.row_index("idx", 7200))
+        .groupBy("row_index")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("row_index")
+    )
+
+
+def sql_row_index_pruning() -> str:
+    return """
+    WITH ev AS (SELECT CAST(epoch(ts) AS BIGINT) AS idx FROM events),
+    mid AS (SELECT CAST((MIN(idx) + MAX(idx)) / 2 AS BIGINT) AS center FROM ev)
+    SELECT (idx // 7200) * 7200 AS row_index, COUNT(*) AS n
+    FROM ev, mid WHERE idx BETWEEN center - 86400 AND center + 86400
+    GROUP BY 1 ORDER BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over the documents table
+# ---------------------------------------------------------------------------
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+def sql_exact_dedup() -> str:
+    return """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keeper_id
+    """
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("ws_tokens"),
+        T.bpe_ish_token_count("text").alias("bpe_tokens"),
+    )
+
+
+def sql_token_counts() -> str:
+    return rf"""
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS ws_tokens,
+           len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS bpe_tokens
+    FROM documents
+    """
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score("text").alias("quality"))
+
+
+def sql_quality() -> str:
+    return r"""
+    WITH t AS (
+      SELECT doc_id, text,
+        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(text), '\s+') END AS toks,
+        length(text) AS n
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        LEAST(n / 200.0, 1.0) AS length_factor,
+        CASE WHEN len(toks) > 0
+             THEN list_sum(list_transform(toks, w -> CAST(length(w) AS DOUBLE))) / len(toks)
+             ELSE 0.0 END AS wl,
+        CASE WHEN n > 0
+             THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / n
+             ELSE 0.0 END AS pr
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND((length_factor + (1.0 - LEAST(ABS(wl - 5.0) / 5.0, 1.0))
+                  + (1.0 - LEAST(pr * 4.0, 1.0))) / 3.0, 6) AS quality
+    FROM m
+    """
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id("text").alias("lang_pred"))
+
+
+def sql_lang_id() -> str:
+    stops = ",".join(f"'{w}'" for w in T.EN_STOPWORDS)
+    return rf"""
+    WITH t AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+             ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN len(toks) > 0 AND
+                CAST(len(list_filter(toks, x -> list_contains([{stops}], x))) AS DOUBLE)
+                  / len(toks) >= 0.08
+           THEN 'en' ELSE 'unknown' END AS lang_pred
+    FROM t
+    """
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.doc_fingerprint("text", k=8).alias("fp"))
+
+
+def sql_fingerprint() -> str:
+    return """
+    SELECT doc_id,
+      list_min(list_transform(
+        list_distinct(list_transform(range(1, GREATEST(length(text) - 8 + 1, 0) + 1),
+                                     i -> substring(text, i::int, 8))),
+        s -> CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT)
+      )) AS fp
+    FROM documents
+    """
+
+
+MINHASH_PERMS = 8
+SHINGLE_K = 5
+
+
+def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded MinHash signature rows (md5 hash family, shared with the
+    SQL oracle)."""
+    docs = _read(spark, sf_dir, "documents")
+    sig = T.minhash_signature("text", SHINGLE_K, MINHASH_PERMS, hash_fn="md5")
+    return docs.select("doc_id", F.posexplode(sig).alias("perm", "minhash"))
+
+
+def sql_minhash_sigs() -> str:
+    per_perm = ",\n".join(
+        f"""list_min(list_transform(sh, s -> CAST(('0x' || substring(md5('{i}:' || s), 1, 15)) AS BIGINT))) AS mh_{i}"""
+        for i in range(MINHASH_PERMS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS perm, mh_{i} AS minhash FROM sigs" for i in range(MINHASH_PERMS)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, GREATEST(length(text) - {SHINGLE_K} + 1, 0) + 1),
+                                     i -> substring(text, i::int, {SHINGLE_K}))) AS sh
+      FROM documents
+    ), sigs AS (SELECT doc_id, {per_perm} FROM t)
+    {unpivot}
+    """
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard for doc pairs sharing a MinHash band (bands of 2
+    perms over the md5 family); pairs with jaccard >= 0.3."""
+    sigs = q_minhash_sigs(spark, sf_dir)
+    bands = sigs.withColumn("band", (F.col("perm") / 2).cast("int")).groupBy(
+        "doc_id", "band"
+    ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string")))).alias("band_key"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
+        .distinct()
+    )
+    docs = _read(spark, sf_dir, "documents")
+    ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
+    tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    return (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(T.ngram_jaccard("text_a", "text_b", SHINGLE_K), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.3)
+    )
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return f"""
+    WITH sigrows AS ({sql_minhash_sigs()}),
+    bands AS (
+      SELECT doc_id, perm // 2 AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY CAST(minhash AS VARCHAR)) AS band_key
+      FROM sigrows GROUP BY doc_id, perm // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sh AS (
+      SELECT doc_id,
+        list_distinct(list_transform(range(1, GREATEST(length(text) - {SHINGLE_K} + 1, 0) + 1),
+                                     i -> substring(text, i::int, {SHINGLE_K}))) AS s
+      FROM documents
+    )
+    SELECT doc_id_a, doc_id_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+    FROM cand JOIN sh a ON cand.doc_id_a = a.doc_id
+              JOIN sh b ON cand.doc_id_b = b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
+    """
+
+
+def q_embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    return (
+        emb.select("label", V.vector_norm("emb").alias("norm"))
+        .groupBy("label")
+        .agg(F.round(F.avg("norm"), 6).alias("avg_norm"), F.count(F.lit(1)).alias("n"))
+        .orderBy("label")
+    )
+
+
+def sql_embedding_norm_stats() -> str:
+    return f"""
+    SELECT label, ROUND(AVG(sqrt(list_dot_product({_SQL_EMB}, {_SQL_EMB}))), 6) AS avg_norm,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label ORDER BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (non-SQL-expressible: audio decode, UDF hashing)
+# ---------------------------------------------------------------------------
+
+
+def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full audio dedup pipeline on a deterministic in-process corpus
+    (sf-scaled): clips -> features -> signatures -> buckets -> pairs ->
+    verify -> connected components -> clusters."""
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+    n = 60 if "0.001" in sf_dir else 150
+    res = synth_clips(n_clips=n, seed=SEED)
+    clips, _ = clips_to_spark(spark, res)
+    return dedup_pipeline(spark, clips, DedupConfig()).clusters.orderBy("clip_id")
+
+
+def q_audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from go_lsh_spark.operators.dedup import build_signatures, extract_features
+    from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+    cfg = DedupConfig()
+    res = synth_clips(n_clips=40, seed=SEED)
+    clips, _ = clips_to_spark(spark, res)
+    sigs = build_signatures(
+        extract_features(clips, cfg), cfg, PlaneSet(cfg.lsh_config())
+    )
+    return sigs.select("clip_id", "sig64").orderBy("clip_id")
+
+
+def q_token_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    udf = T.make_token_simhash_udf()
+    return docs.select("doc_id", udf(F.col("text")).alias("simhash")).orderBy("doc_id")
+
+
+def q_search_topk_reference_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's TestLSHSearch fixture through the Spark engine
+    (rows-only: hashing is UDF-side)."""
+    from go_lsh_spark.engine import SparkLSH
+    from go_lsh_spark.config import SIGN_FILTER_POS, SearchOptions
+
+    docs = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0, 5.0]),
+            (1, 0, [0.0, 0.1, 3.0]),
+            (2, 0, [0.0, 0.1, 2.0]),
+            (3, 0, [0.0, 0.1, 1.0]),
+            (4, 0, [0.0, -0.1, -4.0]),
+        ],
+        "uid long, index long, vector array<double>",
+    )
+    eng = SparkLSH(spark, LSHConfig()).index(docs)
+    q = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0, 0.1])], "query_id long, index long, vector array<double>"
+    )
+    res = eng.search_df(q, SearchOptions(num_to_return=3, sign_filter=SIGN_FILTER_POS))
+    return res.scores.select("query_id", "uid", "index", F.round("score", 6).alias("score"), "rank")
+
+
+def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    # two-step: materialize shingle hashes first so each window slices a
+    # ready array instead of re-hashing the document per window
+    hashed = docs.select("doc_id", T.shingle_hashes("text", k=8).alias("_h"))
+    return hashed.select(
+        "doc_id", F.posexplode(T.winnowing_from_hashes("_h", window=4)).alias("pos", "fp")
+    )
+
+
+QUERIES = {
+    "simhash_buckets": (q_simhash_buckets, sql_simhash_buckets),
+    "bucket_join_pairs": (q_bucket_join_pairs, sql_bucket_join_pairs),
+    "pearson_scores": (q_pearson_scores, sql_pearson_scores),
+    "threshold_filter": (q_threshold_filter, sql_threshold_filter),
+    "topk_cosine": (q_topk_cosine, sql_topk_cosine),
+    "ann_lsh": (q_ann_lsh, sql_ann_lsh),
+    "delete_antijoin": (q_delete_antijoin, sql_delete_antijoin),
+    "sign_dual_buckets": (q_sign_dual_buckets, sql_sign_dual_buckets),
+    "stats_curve": (q_stats_curve, sql_stats_curve),
+    "row_index_pruning": (q_row_index_pruning, sql_row_index_pruning),
+    "exact_dedup": (q_exact_dedup, sql_exact_dedup),
+    "token_counts": (q_token_counts, sql_token_counts),
+    "quality_score": (q_quality, sql_quality),
+    "lang_id": (q_lang_id, sql_lang_id),
+    "doc_fingerprint": (q_fingerprint, sql_fingerprint),
+    "minhash_signatures": (q_minhash_sigs, sql_minhash_sigs),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
+    "embedding_norm_stats": (q_embedding_norm_stats, sql_embedding_norm_stats),
+    # rows-only (UDF/audio paths DuckDB cannot express)
+    "audio_dedup_clusters": (q_audio_dedup_clusters, None),
+    "audio_signatures": (q_audio_signatures, None),
+    "token_simhash": (q_token_simhash, None),
+    "search_topk_fixture": (q_search_topk_reference_fixture, None),
+    "winnowing_fingerprints": (q_winnowing, None),
+}

@@ -228,14 +228,19 @@ def make_signature64_udf(planes: PlaneSet, normalize: bool = True):
     return signature64
 
 
-def band_hash(sig: Column | str, band: Column | str, rows_per_band: int) -> Column:
+def band_hash(sig: Column | str, band: int, rows_per_band: int) -> Column:
     """Extract band b's bucket hash from a 64-bit signature, JVM-side:
-    (sig >> (64 - (b+1)*H)) & (2^H - 1), using unsigned shift."""
+    (sig >> (64 - (b+1)*H)) & (2^H - 1), unsigned shift. `band` is static
+    (callers posexplode an array of all band hashes)."""
     sig = F.col(sig) if isinstance(sig, str) else sig
-    band = F.col(band) if isinstance(band, str) else band
-    shift = F.lit(64) - (band + 1) * F.lit(rows_per_band)
+    shift = 64 - (band + 1) * rows_per_band
     mask = F.lit((1 << rows_per_band) - 1)
     return F.shiftrightunsigned(sig, shift).bitwiseAND(mask)
+
+
+def band_hashes(sig: Column | str, num_bands: int, rows_per_band: int) -> Column:
+    """Array of all per-band bucket hashes of a 64-bit signature."""
+    return F.array(*[band_hash(sig, b, rows_per_band) for b in range(num_bands)])
 
 
 def hamming64(a: Column | str, b: Column | str) -> Column:

@@ -1,0 +1,106 @@
+"""Iterative connected components: alternating large-star / small-star.
+
+BASELINE.json mandates iterative DataFrame connected components for cluster
+assignment (the reference has no clustering -- its Search returns per-query
+neighbors; dedup needs transitive closure over the verified-pair graph).
+
+Algorithm: Kiveris et al., "Connected Components in MapReduce and Beyond"
+(SOCC'14) -- alternate large-star (attach larger neighbors to the local
+minimum) and small-star (attach smaller neighbors to the minimum) until the
+edge set is a fixed point; converges in O(log n) rounds and every round is
+one groupBy + one join, all JVM-side.
+
+Scale notes: each round is a shuffle on node id; `localCheckpoint()` per
+round truncates the lineage chain (SURVEY.md §7.3 hard part 6) so plans
+don't grow; convergence is detected with a count + order-independent
+checksum instead of a full sort-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected edge set, canonical (small, large) order, no self-loops."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        # bit_xor: order-independent and overflow-free under ANSI mode
+        F.coalesce(F.bit_xor(F.xxhash64("a", "b")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return row["n"], row["h"]
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    mins = bidir.groupBy("a").agg(
+        F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    # emit (v, m) for larger neighbors v; m <= u < v, so canonical order is
+    # (a=m, b=v) -- small-star relies on a < b
+    return (
+        bidir.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(F.col("m").alias("a"), F.col("b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # direct every edge large -> small: node u sees neighbors N(u) all < u
+    directed = edges.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(mins, "u")
+    to_min = joined.filter(F.col("v") != F.col("m")).select(
+        F.col("v").alias("x"), F.col("m")
+    )
+    self_edge = mins.select(F.col("u").alias("x"), F.col("m"))
+    return (
+        to_min.union(self_edge)
+        .select(
+            F.least("x", "m").alias("a"), F.greatest("x", "m").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """edges(src, dst) -> assignments(node, component) where component is the
+    minimum node id in each connected component. Nodes without edges are not
+    emitted (union the full vertex set downstream)."""
+    cur = _canon(edges, src, dst).localCheckpoint()
+    prev_sig = _checksum(cur)
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # fixed point: every edge is (member, root) with root = component min
+    members = cur.select(F.col("b").alias("node"), F.col("a").alias("component"))
+    # a node may still appear with several roots if max_iterations hit early;
+    # keep the min to stay deterministic
+    members = members.groupBy("node").agg(F.min("component").alias("component"))
+    roots = members.select(F.col("component")).distinct().select(
+        F.col("component").alias("node"), F.col("component")
+    )
+    return members.union(roots).dropDuplicates(["node"])

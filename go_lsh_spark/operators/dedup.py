@@ -1,0 +1,299 @@
+"""The end-to-end near-duplicate detection + clustering pipeline
+(BASELINE.json north_rule).
+
+Stages (each a checkpointable Warehouse stage):
+  1. features:   clips -> (clip_id, features)          [decode+envelope UDF]
+  2. signatures: features -> 64-bit banded SimHash against the seeded plane
+                 matrix (the reference's hash semantics in banded form,
+                 SURVEY.md §1.5) + MinHash signature over transcript
+                 shingles + token count metadata
+  3. buckets:    explode band ids -> (src, band, hash, clip_id); same shape
+                 for the MinHash bands. Mirrors the reference's bucket
+                 tables flattened to rows (/root/reference/tables/tables.go:43-50).
+  4. candidate_pairs: skew-aware self-join per bucket (a.clip_id < b.clip_id)
+                 -- the all-pairs form of the reference's Filter equi-join
+                 (tables/tables.go:129-137; SURVEY.md §3.2 "every row is a
+                 query").
+  5. verify:     audio evidence = Hamming(sig64) pre-filter + Pearson of
+                 feature vectors >= threshold (the reference's `passed`
+                 predicate, results/results.go:35-40, POS sign); text
+                 evidence = MinHash Jaccard estimate >= threshold, or
+                 suffix-array longest-common-substring >= min length.
+  6. clusters:   connected components over verified pairs -> cluster ids.
+
+Skew handling (SURVEY.md §4): bucket sizes are counted first; buckets above
+max_bucket_size generate pairs through a salted triangle join -- members get
+R salt shards, pairs come from shard-pairs (i <= j), spreading a hot
+bucket's |B|^2/2 pair generation over R(R+1)/2 tasks without losing any
+pair. Cold buckets take the plain self-join (AQE skew-join also on).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from go_lsh_spark.config import DedupConfig
+from go_lsh_spark.functions import text as T
+from go_lsh_spark.functions import vector as V
+from go_lsh_spark.functions.audio import make_decode_features_udf
+from go_lsh_spark.hyperplanes import PlaneSet
+from go_lsh_spark.operators.connected_components import connected_components
+from go_lsh_spark.operators.suffix import lcs_pairs
+
+
+def extract_features(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
+    decode = make_decode_features_udf(cfg.feature_dim)
+    return clips.select(
+        "clip_id",
+        decode(F.col("bytes"), F.col("codec")).alias("features"),
+        "transcript",
+    )
+
+
+def build_signatures(features: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
+    sig_udf = V.make_signature64_udf(planes, normalize=True)
+    return features.select(
+        "clip_id",
+        "features",
+        sig_udf(F.col("features")).alias("sig64"),
+        T.minhash_signature("transcript", cfg.shingle_k, cfg.num_perm).alias("minhash"),
+        "transcript",
+    )
+
+
+def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Both bucket families in one narrow table:
+    (src, band, hash, clip_id) with src in {'simhash','minhash'}."""
+    audio = signatures.select(
+        F.lit("simhash").alias("src"),
+        F.posexplode(
+            V.band_hashes("sig64", cfg.num_bands, cfg.rows_per_band)
+        ).alias("band", "hash"),
+        "clip_id",
+    )
+    text = signatures.select(
+        F.lit("minhash").alias("src"),
+        F.posexplode(
+            F.array(
+                *[
+                    T.minhash_band_hash("minhash", b, cfg.minhash_rows)
+                    for b in range(cfg.minhash_bands)
+                ]
+            )
+        ).alias("band", "hash"),
+        "clip_id",
+    )
+    return audio.unionByName(text)
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Distinct (clip_id_a < clip_id_b) pairs sharing any bucket, with the
+    evidence sources that produced them. Skew-split: see module docstring."""
+    key = ["src", "band", "hash"]
+    sizes = buckets.groupBy(*key).agg(F.count(F.lit(1)).alias("_bsize"))
+    # singleton buckets can't produce pairs; hot buckets go to the salted path
+    sized = buckets.join(
+        F.broadcast(sizes.filter(F.col("_bsize") > 1)), key, "inner"
+    )
+    cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
+    hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
+
+    pairs = (
+        cold.alias("a")
+        .join(
+            cold.alias("b"),
+            [
+                F.col("a.src") == F.col("b.src"),
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.hash") == F.col("b.hash"),
+                F.col("a.clip_id") < F.col("b.clip_id"),
+            ],
+        )
+        .select(
+            F.col("a.src").alias("src"),
+            F.col("a.clip_id").alias("clip_id_a"),
+            F.col("b.clip_id").alias("clip_id_b"),
+        )
+    )
+
+    R = cfg.salt_factor
+    hot_salted = hot.withColumn("salt", F.pmod(F.xxhash64("clip_id"), F.lit(R)))
+    # all R^2 ordered (salt_i, salt_j) shards: a pair (x < y) matches exactly
+    # the one shard (salt(x), salt(y)), so coverage is exact with no dup --
+    # an i<=j triangle would miss pairs where the smaller id has the larger
+    # salt
+    salt_pairs = hot_salted.sparkSession.range(R).alias("i").crossJoin(
+        hot_salted.sparkSession.range(R).alias("j")
+    ).select(
+        F.col("i.id").cast("int").alias("salt_i"),
+        F.col("j.id").cast("int").alias("salt_j"),
+    )
+    ha = hot_salted.crossJoin(F.broadcast(salt_pairs)).filter(
+        F.col("salt") == F.col("salt_i")
+    ).alias("a")
+    hb = hot_salted.alias("b")
+    hot_pairs = ha.join(
+        hb,
+        [
+            F.col("a.src") == F.col("b.src"),
+            F.col("a.band") == F.col("b.band"),
+            F.col("a.hash") == F.col("b.hash"),
+            F.col("a.salt_j") == F.col("b.salt"),
+            F.col("a.clip_id") < F.col("b.clip_id"),
+        ],
+    ).select(
+        F.col("a.src").alias("src"),
+        F.col("a.clip_id").alias("clip_id_a"),
+        F.col("b.clip_id").alias("clip_id_b"),
+    )
+
+    return (
+        pairs.unionByName(hot_pairs)
+        .groupBy("clip_id_a", "clip_id_b")
+        .agg(
+            F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias("from_simhash"),
+            F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias("from_minhash"),
+        )
+    )
+
+
+def verify_pairs(
+    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Attach evidence and keep pairs passing any gate:
+      audio: hamming64 <= max_hamming AND pearson(features) >= threshold
+             (the reference's POS `passed` predicate on the exact score,
+             results/results.go:35-40)
+      text:  jaccard_estimate(minhash) >= jaccard_threshold
+      substring: lcs_len >= min_common_substring (suffix-array; computed
+             only for pairs that failed the cheap gates -- verification-stage
+             cost control)
+    """
+    sig_a = signatures.select(
+        F.col("clip_id").alias("clip_id_a"),
+        F.col("features").alias("features_a"),
+        F.col("sig64").alias("sig64_a"),
+        F.col("minhash").alias("minhash_a"),
+        F.col("transcript").alias("transcript_a"),
+    )
+    sig_b = signatures.select(
+        F.col("clip_id").alias("clip_id_b"),
+        F.col("features").alias("features_b"),
+        F.col("sig64").alias("sig64_b"),
+        F.col("minhash").alias("minhash_b"),
+        F.col("transcript").alias("transcript_b"),
+    )
+    enriched = (
+        pairs.join(sig_a, "clip_id_a").join(sig_b, "clip_id_b")
+        .withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
+        .withColumn("score", V.pearson("features_a", "features_b"))
+        .withColumn("jaccard_est", T.jaccard_estimate("minhash_a", "minhash_b"))
+    )
+    audio_ok = (
+        (F.col("hamming") <= cfg.max_hamming)
+        & F.col("score").isNotNull()
+        & (F.col("score") >= cfg.threshold)
+    )
+    text_ok = F.col("jaccard_est") >= cfg.jaccard_threshold
+    cheap = enriched.withColumn("audio_ok", audio_ok).withColumn("text_ok", text_ok)
+    passed_cheap = cheap.filter(F.col("audio_ok") | F.col("text_ok")).withColumn(
+        "lcs_len", F.lit(None).cast("int")
+    )
+    needs_lcs = cheap.filter(~(F.col("audio_ok") | F.col("text_ok")))
+    with_lcs = lcs_pairs(needs_lcs).filter(
+        F.col("lcs_len") >= cfg.min_common_substring
+    )
+    cols = [
+        "clip_id_a", "clip_id_b", "from_simhash", "from_minhash",
+        "hamming", "score", "jaccard_est", "audio_ok", "text_ok", "lcs_len",
+    ]
+    return passed_cheap.select(*cols).unionByName(with_lcs.select(*cols))
+
+
+def cluster_assignments(
+    clips: DataFrame, verified: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """clusters(clip_id, cluster_id): connected components over verified
+    pairs; singletons keep their own id as cluster_id."""
+    comp = connected_components(
+        verified.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst")),
+        max_iterations=cfg.max_cc_iterations,
+    )
+    return (
+        clips.select("clip_id")
+        .join(comp.withColumnRenamed("node", "clip_id"), "clip_id", "left")
+        .select(
+            "clip_id",
+            F.coalesce(F.col("component"), F.col("clip_id")).alias("cluster_id"),
+        )
+    )
+
+
+@dataclass
+class DedupResult:
+    features: DataFrame
+    signatures: DataFrame
+    buckets: DataFrame
+    pairs: DataFrame
+    verified: DataFrame
+    clusters: DataFrame
+
+
+def dedup_pipeline(
+    spark: SparkSession,
+    clips: DataFrame,
+    cfg: DedupConfig | None = None,
+    warehouse=None,
+) -> DedupResult:
+    """Run the full pipeline. With a Warehouse, every stage is a
+    write-or-resume checkpoint with lineage metrics (north_rule
+    resumability); without, stages stay lazy (cached where reused)."""
+    cfg = cfg or DedupConfig()
+    planes = PlaneSet(cfg.lsh_config())
+
+    if warehouse is None:
+        features = extract_features(clips, cfg)
+        signatures = build_signatures(features, cfg, planes).cache()
+        buckets = build_buckets(signatures, cfg)
+        pairs = candidate_pairs(buckets, cfg)
+        verified = verify_pairs(pairs, signatures, cfg).cache()
+        clusters = cluster_assignments(clips, verified, cfg)
+        return DedupResult(features, signatures, buckets, pairs, verified, clusters)
+
+    cfg_dict = {k: getattr(cfg, k) for k in cfg.__dataclass_fields__}
+    signatures = warehouse.run(
+        "signatures",
+        lambda: build_signatures(extract_features(clips, cfg), cfg, planes),
+        config=cfg_dict,
+        inputs=["clips"],
+    )
+    buckets = warehouse.run(
+        "buckets",
+        lambda: build_buckets(signatures, cfg),
+        config=cfg_dict,
+        inputs=["signatures"],
+        partition_by=["src", "band"],
+    )
+    pairs = warehouse.run(
+        "candidate_pairs",
+        lambda: candidate_pairs(buckets, cfg),
+        config=cfg_dict,
+        inputs=["buckets"],
+    )
+    verified = warehouse.run(
+        "verified_pairs",
+        lambda: verify_pairs(pairs, signatures, cfg),
+        config=cfg_dict,
+        inputs=["candidate_pairs", "signatures"],
+    )
+    clusters = warehouse.run(
+        "clusters",
+        lambda: cluster_assignments(clips, verified, cfg),
+        config=cfg_dict,
+        inputs=["verified_pairs"],
+    )
+    features = signatures.select("clip_id", "features")
+    return DedupResult(features, signatures, buckets, pairs, verified, clusters)

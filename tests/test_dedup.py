@@ -1,0 +1,185 @@
+"""End-to-end dedup pipeline: recall gate vs the reference-semantics oracle,
+cluster correctness vs ground truth, skew path, checkpoint/resume.
+
+The BASELINE.json gate: dup-pair recall >= 0.99 against the reference's
+bucket+score semantics at identical signature config. Oracle dup-pairs =
+(pairs sharing any LSH bucket under the SAME seeded planes)
+∩ (|Pearson(features)| via POS >= threshold) -- computed brute-force in
+numpy (go_lsh_spark.oracle). With identical planes the pipeline's bucket
+join is exact, so recall must be 1.0.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_lsh_spark.config import DedupConfig
+from go_lsh_spark.functions.audio import decode_wav, envelope_features
+from go_lsh_spark.hyperplanes import PlaneSet
+from go_lsh_spark.operators.dedup import dedup_pipeline
+from go_lsh_spark.oracle import lsh_candidate_pairs_oracle, pearson
+from go_lsh_spark.sources.catalog import Warehouse
+from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+N_CLIPS = 120
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return synth_clips(n_clips=N_CLIPS, seed=SEED)
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def oracle_state(corpus, cfg):
+    """Numpy-side features + reference-semantics dup pairs."""
+    feats, ids = [], []
+    for _, row in corpus.clips.iterrows():
+        pcm, _ = decode_wav(row["bytes"])
+        feats.append(envelope_features(pcm, cfg.feature_dim))
+        ids.append(row["clip_id"])
+    feats = np.array(feats)
+    planes = PlaneSet(cfg.lsh_config())
+    uids = np.arange(len(ids))
+    bucket_pairs = lsh_candidate_pairs_oracle(cfg.lsh_config(), planes, uids, feats)
+    dup_pairs = set()
+    for i, j in bucket_pairs:
+        s = pearson(feats[i], feats[j])
+        if not np.isnan(s) and s >= cfg.threshold:  # POS predicate
+            dup_pairs.add(tuple(sorted((ids[i], ids[j]))))
+    return {"ids": ids, "features": feats, "dup_pairs": dup_pairs}
+
+
+@pytest.fixture(scope="module")
+def result(spark, corpus, cfg):
+    df, _ = clips_to_spark(spark, corpus)
+    return dedup_pipeline(spark, df, cfg)
+
+
+def test_recall_gate(result, oracle_state, cfg):
+    got = {
+        tuple(sorted((r.clip_id_a, r.clip_id_b)))
+        for r in result.verified.filter(
+            F.col("audio_ok") & (F.col("hamming") <= cfg.max_hamming)
+        ).collect()
+    }
+    expected = oracle_state["dup_pairs"]
+    assert expected, "oracle produced no dup pairs -- fixture is degenerate"
+    # hamming pre-filter can only drop pairs the oracle ALSO bucket-joins,
+    # and identical sigs have hamming 0 <= max_hamming; compute recall
+    missed = expected - got
+    recall = 1.0 - len(missed) / len(expected)
+    assert recall >= 0.99, f"recall {recall}: missed {sorted(missed)[:5]}"
+
+
+def test_in_group_clips_cluster_together(result, corpus, oracle_state, cfg):
+    clusters = {r.clip_id: r.cluster_id for r in result.clusters.collect()}
+    assert len(clusters) == N_CLIPS
+    # ground truth groups whose members are mutually Pearson-similar must
+    # land in one cluster (audio path); groups are also transcript-similar
+    truth = corpus.truth
+    feats = {cid: f for cid, f in zip(oracle_state["ids"], oracle_state["features"])}
+    for gid, grp in truth.groupby("group_id"):
+        ids = list(grp.clip_id)
+        if len(ids) < 2:
+            continue
+        base = ids[0]
+        for other in ids[1:]:
+            s = pearson(feats[base], feats[other])
+            if s >= cfg.threshold:
+                assert clusters[base] == clusters[other], (base, other, s)
+
+
+def test_clusters_refine_allowed_graph(result, corpus):
+    """Every pipeline cluster must stay inside one component of the
+    'allowed' graph: in-group near-dup edges plus the deliberately-planted
+    cross-group substring pairs (those SHOULD merge groups -- that's the
+    suffix-array path working)."""
+
+    class UF:
+        def __init__(self):
+            self.p = {}
+
+        def find(self, x):
+            self.p.setdefault(x, x)
+            while self.p[x] != x:
+                self.p[x] = self.p[self.p[x]]
+                x = self.p[x]
+            return x
+
+        def union(self, a, b):
+            ra, rb = self.find(a), self.find(b)
+            if ra != rb:
+                self.p[max(ra, rb)] = min(ra, rb)
+
+    uf = UF()
+    for _, grp in corpus.truth.groupby("group_id"):
+        ids = list(grp.clip_id)
+        for other in ids[1:]:
+            uf.union(ids[0], other)
+    for _, row in corpus.substring_pairs.iterrows():
+        uf.union(row.clip_id_a, row.clip_id_b)
+
+    clusters = {r.clip_id: r.cluster_id for r in result.clusters.collect()}
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for cid, cl in clusters.items():
+        members[cl].append(cid)
+    for cl, ids in members.items():
+        roots = {uf.find(c) for c in ids}
+        assert len(roots) == 1, f"cluster {cl} spans allowed components: {ids[:6]}"
+
+
+def test_substring_pairs_found(result, corpus, cfg):
+    if corpus.substring_pairs.empty:
+        pytest.skip("no substring pairs synthesized")
+    verified = {
+        tuple(sorted((r.clip_id_a, r.clip_id_b))): r
+        for r in result.verified.collect()
+    }
+    found = 0
+    for _, row in corpus.substring_pairs.iterrows():
+        key = tuple(sorted((row.clip_id_a, row.clip_id_b)))
+        if key in verified:
+            found += 1
+    # substring pairs share >= 1/3 of tokens as a contiguous run; the
+    # minhash bands must surface them as candidates and the lcs or jaccard
+    # evidence must verify them
+    assert found >= len(corpus.substring_pairs) * 0.5, (
+        found, len(corpus.substring_pairs))
+
+
+def test_hot_bucket_salting_preserves_pairs(spark, corpus):
+    """Force every bucket through the salted triangle path and require the
+    identical pair set as the plain path."""
+    df, _ = clips_to_spark(spark, corpus)
+    cfg_plain = DedupConfig()
+    cfg_salted = DedupConfig(max_bucket_size=1, salt_factor=4)
+    plain = dedup_pipeline(spark, df, cfg_plain)
+    salted = dedup_pipeline(spark, df, cfg_salted)
+    p = {(r.clip_id_a, r.clip_id_b) for r in plain.pairs.collect()}
+    s = {(r.clip_id_a, r.clip_id_b) for r in salted.pairs.collect()}
+    assert p == s
+
+
+def test_warehouse_checkpoint_resume(spark, corpus, cfg, tmp_path):
+    df, _ = clips_to_spark(spark, corpus)
+    wh1 = Warehouse(spark, str(tmp_path / "wh"))
+    r1 = dedup_pipeline(spark, df, cfg, warehouse=wh1)
+    n_clusters_1 = r1.clusters.count()
+    m1 = wh1.metrics()
+    assert all(not v["resumed"] for v in m1.values())
+    assert m1["signatures"]["rows"] == N_CLIPS
+
+    # second run over the same warehouse resumes every stage
+    wh2 = Warehouse(spark, str(tmp_path / "wh"))
+    r2 = dedup_pipeline(spark, df, cfg, warehouse=wh2)
+    m2 = wh2.metrics()
+    assert all(v["resumed"] for v in m2.values()), m2
+    assert r2.clusters.count() == n_clusters_1
