@@ -107,11 +107,17 @@ class DedupConfig:
     num_bands * rows_per_band must be <= 64 (single LongType signature).
     """
 
-    # SimHash over audio feature vectors
-    num_bands: int = 8
-    rows_per_band: int = 8
+    # SimHash over audio feature vectors. 4 bands x 16 rows: near-dup pairs
+    # (Pearson ~1 => bit-flip prob ~0) survive all bands while moderately
+    # correlated non-dups (corr ~0.5-0.8) collide ~never -- 8-bit bands let
+    # corr~0.5 pairs through at ~30% and degenerate to all-pairs at scale.
+    num_bands: int = 4
+    rows_per_band: int = 16
     feature_dim: int = 16
     seed: int = 42
+    # hash mean-centered features so bucket collision tracks the Pearson
+    # verification score (see functions/vector.make_signature64_udf)
+    center_features: bool = True
     # verification thresholds (reference `passed`, results/results.go:35-40,
     # applied to the cosine/Pearson of feature vectors)
     threshold: float = 0.85
@@ -121,8 +127,14 @@ class DedupConfig:
     num_perm: int = 64
     minhash_bands: int = 16  # 16 bands x 4 rows
     jaccard_threshold: float = 0.7
-    # suffix-array substring verification
+    # suffix-array substring verification; candidates for it come from
+    # winnowing fingerprints (guarantee: any common substring of length >=
+    # winnow_k + winnow_window - 1 chars shares a fingerprint), capped at
+    # winnow_max_df docs per fingerprint (stop-gram removal)
     min_common_substring: int = 30
+    winnow_k: int = 8
+    winnow_window: int = 4
+    winnow_max_df: int = 100
     # skew handling
     max_bucket_size: int = 2048  # split larger buckets with triangle salting
     salt_factor: int = 8

@@ -555,8 +555,10 @@ SHINGLE_K = 5
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded MinHash signature rows (md5 hash family, shared with the
     SQL oracle)."""
-    docs = _read(spark, sf_dir, "documents")
-    sig = T.minhash_signature("text", SHINGLE_K, MINHASH_PERMS, hash_fn="md5")
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "_sh", F.array_distinct(T.char_shingles("text", SHINGLE_K))
+    )
+    sig = T.minhash_from_shingles("_sh", MINHASH_PERMS, hash_fn="md5")
     return docs.select("doc_id", F.posexplode(sig).alias("perm", "minhash"))
 
 
@@ -583,7 +585,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for doc pairs sharing a MinHash band (bands of 2
     perms over the md5 family); pairs with jaccard >= 0.3."""
     sigs = q_minhash_sigs(spark, sf_dir)
-    bands = sigs.withColumn("band", (F.col("perm") / 2).cast("int")).groupBy(
+    # 4-perm bands: the synthetic corpus has ~0.2 baseline shingle
+    # similarity, so 2-perm bands collide ~15% of ALL pairs (1.1M at sf0.1)
+    bands = sigs.withColumn("band", (F.col("perm") / 4).cast("int")).groupBy(
         "doc_id", "band"
     ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string")))).alias("band_key"))
     cand = (
@@ -599,16 +603,24 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    docs = _read(spark, sf_dir, "documents")
-    ta = docs.select(F.col("doc_id").alias("doc_id_a"), F.col("text").alias("text_a"))
-    tb = docs.select(F.col("doc_id").alias("doc_id_b"), F.col("text").alias("text_b"))
+    # materialize distinct shingle sets ONCE per doc; joining texts and
+    # re-shingling per pair costs |pairs| x 2 shingle passes
+    sh = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.array_distinct(T.char_shingles("text", SHINGLE_K)).alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.join(ta, "doc_id_a")
-        .join(tb, "doc_id_b")
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",
-            F.round(T.ngram_jaccard("text_a", "text_b", SHINGLE_K), 6).alias("jaccard"),
+            F.round(
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6
+            ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.3)
     )
@@ -618,9 +630,9 @@ def sql_ngram_jaccard_pairs() -> str:
     return f"""
     WITH sigrows AS ({sql_minhash_sigs()}),
     bands AS (
-      SELECT doc_id, perm // 2 AS band,
+      SELECT doc_id, perm // 4 AS band,
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY CAST(minhash AS VARCHAR)) AS band_key
-      FROM sigrows GROUP BY doc_id, perm // 2
+      FROM sigrows GROUP BY doc_id, perm // 4
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b

@@ -61,23 +61,41 @@ def md5_int64(col: Column | str, bits: int = 60) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def minhash_signature(
-    text: Column | str, k: int, num_perm: int, hash_fn: str = "xxhash64"
+def minhash_from_shingles(
+    shingles: Column | str, num_perm: int, hash_fn: str = "xxhash64"
 ) -> Column:
-    """MinHash signature over distinct k-shingles as array<long>[num_perm].
+    """MinHash signature from a MATERIALIZED distinct-shingle array column.
+
+    Callers must project the shingle array into its own column first
+    (`df.withColumn("sh", array_distinct(char_shingles(...)))`): Catalyst
+    does not common-subexpression-eliminate across lambda boundaries, so
+    referencing the shingle expression inside every permutation's transform
+    re-shingles the string num_perm times (observed 40s -> 3s on 2000 rows).
 
     Permutation i hashes ("i:" || shingle); the signature element is the min
-    over shingles. hash_fn='md5' gives the DuckDB-reproducible variant;
-    'xxhash64' is the fast internal one. Empty shingle sets produce nulls.
+    over shingles. hash_fn='md5' is the DuckDB-reproducible variant;
+    'xxhash64' the fast internal one. Empty shingle sets produce nulls.
     """
-    sh = F.array_distinct(char_shingles(text, k))
+    sh = _c(shingles)
+
     def perm(i: int) -> Column:
         if hash_fn == "md5":
             h = lambda s: md5_int64(F.concat(F.lit(f"{i}:"), s))  # noqa: E731
         else:
             h = lambda s: F.xxhash64(F.lit(i), s)  # noqa: E731
         return F.array_min(F.transform(sh, h))
+
     return F.array(*[perm(i) for i in range(num_perm)])
+
+
+def minhash_signature(
+    text: Column | str, k: int, num_perm: int, hash_fn: str = "xxhash64"
+) -> Column:
+    """One-expression convenience for narrow inputs; hot paths must use the
+    two-step char_shingles -> minhash_from_shingles form (see that doc)."""
+    return minhash_from_shingles(
+        F.array_distinct(char_shingles(text, k)), num_perm, hash_fn
+    )
 
 
 def minhash_band_hash(sig: Column | str, band: int, rows_per_band: int) -> Column:

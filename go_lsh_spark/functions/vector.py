@@ -203,10 +203,19 @@ def make_hash_tables_udf(planes: PlaneSet, normalize: bool = True):
     return hash_tables
 
 
-def make_signature64_udf(planes: PlaneSet, normalize: bool = True):
+def make_signature64_udf(planes: PlaneSet, normalize: bool = True, center: bool = False):
     """pandas UDF: vector -> 64-bit banded SimHash signature (LongType).
     Band b occupies bits [63-b*H .. 64-(b+1)*H] (hyperplanes.PlaneSet
-    .signature64)."""
+    .signature64).
+
+    center=True subtracts the row mean before hashing: SimHash collision
+    probability then tracks the *Pearson* similarity used by verification
+    (lsh/lsh.go:220) instead of raw cosine. Critical for feature families
+    with a large common component (log-RMS audio envelopes all sit in one
+    orthant -- uncentered, every pair collides and the bucket join
+    degenerates to all-pairs). The reference-parity engine path keeps
+    center=False to match TFunc (configs/lshconfigs.go:26-29).
+    """
     stacked = planes.stacked
     cfg = planes.cfg
     if cfg.total_bits > 64:
@@ -218,6 +227,8 @@ def make_signature64_udf(planes: PlaneSet, normalize: bool = True):
     def signature64(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for s in it:
             m = _as_matrix(s, v)
+            if center:
+                m = m - m.mean(axis=1, keepdims=True)
             if normalize:
                 norms = np.linalg.norm(m, axis=1, keepdims=True)
                 np.divide(m, norms, out=m, where=norms != 0)

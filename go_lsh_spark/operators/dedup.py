@@ -54,12 +54,21 @@ def extract_features(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def build_signatures(features: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
-    sig_udf = V.make_signature64_udf(planes, normalize=True)
-    return features.select(
+    sig_udf = V.make_signature64_udf(
+        planes, normalize=True, center=cfg.center_features
+    )
+    # two projections: shingles materialize first so the num_perm MinHash
+    # lambdas each scan a ready array instead of re-shingling the transcript
+    # (Catalyst doesn't CSE across lambda boundaries)
+    with_sh = features.withColumn(
+        "_sh", F.array_distinct(T.char_shingles("transcript", cfg.shingle_k))
+    ).withColumn("_wh", T.shingle_hashes("transcript", cfg.winnow_k))
+    return with_sh.select(
         "clip_id",
         "features",
         sig_udf(F.col("features")).alias("sig64"),
-        T.minhash_signature("transcript", cfg.shingle_k, cfg.num_perm).alias("minhash"),
+        T.minhash_from_shingles("_sh", cfg.num_perm).alias("minhash"),
+        T.winnowing_from_hashes("_wh", cfg.winnow_window).alias("winnow"),
         "transcript",
     )
 
@@ -86,7 +95,24 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         ).alias("band", "hash"),
         "clip_id",
     )
-    return audio.unionByName(text)
+    # winnowing fingerprints: the suffix-array path's candidate source --
+    # a common substring of >= winnow_k + winnow_window - 1 chars guarantees
+    # a shared fingerprint (Schleimer et al. 2003). Fingerprints present in
+    # more than winnow_max_df docs are stop-grams and dropped (they would
+    # otherwise form quadratic hot buckets of unrelated docs).
+    winnow = signatures.select(
+        F.lit("winnow").alias("src"),
+        F.lit(0).alias("band"),
+        F.explode("winnow").alias("hash"),
+        "clip_id",
+    ).dropDuplicates(["hash", "clip_id"])
+    # shuffle join, not broadcast: the distinct-fingerprint set grows with
+    # the corpus and would not fit a broadcast at 10^12 clips
+    df_counts = winnow.groupBy("hash").agg(F.count(F.lit(1)).alias("_df"))
+    winnow = winnow.join(
+        df_counts.filter(F.col("_df") <= cfg.winnow_max_df), "hash"
+    ).select("src", "band", "hash", "clip_id")
+    return audio.unionByName(text).unionByName(winnow)
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -156,6 +182,7 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         .agg(
             F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias("from_simhash"),
             F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias("from_minhash"),
+            F.max(F.when(F.col("src") == "winnow", 1).otherwise(0)).alias("from_winnow"),
         )
     )
 
@@ -202,12 +229,17 @@ def verify_pairs(
     passed_cheap = cheap.filter(F.col("audio_ok") | F.col("text_ok")).withColumn(
         "lcs_len", F.lit(None).cast("int")
     )
-    needs_lcs = cheap.filter(~(F.col("audio_ok") | F.col("text_ok")))
+    # suffix-array LCS only where substring evidence is possible: pairs the
+    # winnowing fingerprints surfaced (cost control -- LCS is the expensive
+    # verifier and simhash/minhash misses carry no substring signal)
+    needs_lcs = cheap.filter(
+        ~(F.col("audio_ok") | F.col("text_ok")) & (F.col("from_winnow") == 1)
+    )
     with_lcs = lcs_pairs(needs_lcs).filter(
         F.col("lcs_len") >= cfg.min_common_substring
     )
     cols = [
-        "clip_id_a", "clip_id_b", "from_simhash", "from_minhash",
+        "clip_id_a", "clip_id_b", "from_simhash", "from_minhash", "from_winnow",
         "hamming", "score", "jaccard_est", "audio_ok", "text_ok", "lcs_len",
     ]
     return passed_cheap.select(*cols).unionByName(with_lcs.select(*cols))

@@ -277,12 +277,16 @@ def brute_force_pairs(
 
 
 def lsh_candidate_pairs_oracle(
-    cfg: LSHConfig, planes: PlaneSet, uids: np.ndarray, vectors: np.ndarray
+    cfg: LSHConfig, planes: PlaneSet, uids: np.ndarray, vectors: np.ndarray,
+    center: bool = False,
 ) -> set[tuple[int, int]]:
     """The exact candidate-pair set the reference's bucket structure implies:
     two docs are candidates iff they share a (table, hash) bucket. Ground
-    truth for bucket-join recall (must be 1.0 at identical planes)."""
+    truth for bucket-join recall (must be 1.0 at identical planes).
+    center=True mirrors the dedup pipeline's mean-centered hashing."""
     v = np.asarray(vectors, dtype=np.float64)
+    if center:
+        v = v - v.mean(axis=1, keepdims=True)
     if cfg.normalize:
         norms = np.linalg.norm(v, axis=1, keepdims=True)
         norms[norms == 0] = 1.0

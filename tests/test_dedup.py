@@ -46,7 +46,9 @@ def oracle_state(corpus, cfg):
     feats = np.array(feats)
     planes = PlaneSet(cfg.lsh_config())
     uids = np.arange(len(ids))
-    bucket_pairs = lsh_candidate_pairs_oracle(cfg.lsh_config(), planes, uids, feats)
+    bucket_pairs = lsh_candidate_pairs_oracle(
+        cfg.lsh_config(), planes, uids, feats, center=cfg.center_features
+    )
     dup_pairs = set()
     for i, j in bucket_pairs:
         s = pearson(feats[i], feats[j])

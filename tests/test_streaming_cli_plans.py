@@ -30,7 +30,10 @@ def test_streaming_signature_sink(spark, tmp_path):
     assert sigs.select("clip_id").distinct().count() == 20
     # multiple microbatches actually happened (incremental, not one big batch)
     assert sigs.select("_batch_id").distinct().count() >= 2
-    assert buckets.count() == 20 * (cfg.num_bands + cfg.minhash_bands)
+    by_src = {r.src: r.n for r in buckets.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert by_src["simhash"] == 20 * cfg.num_bands
+    assert by_src["minhash"] == 20 * cfg.minhash_bands
+    assert by_src.get("winnow", 0) > 0
 
 
 def test_cli_stats_and_synth(tmp_path, capsys):
