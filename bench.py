@@ -28,18 +28,28 @@ N_CLIPS_BENCH = int(os.environ.get("BENCH_N_CLIPS", "2000"))
 
 def run_dedup(spark, n_clips: int) -> tuple[float, int]:
     """End-to-end dedup: synth -> features -> signatures -> buckets ->
-    pairs -> verify -> connected components -> clusters.count()."""
+    pairs -> verify -> connected components -> clusters.count().
+
+    The corpus is synthesized ON THE EXECUTORS (sources.synth.
+    synth_clips_distributed) and materialized before the timed section, so
+    the measurement covers the pipeline, not corpus generation.
+    """
     from go_lsh_spark.config import DedupConfig
     from go_lsh_spark.operators.dedup import dedup_pipeline
-    from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+    from go_lsh_spark.sources.synth import synth_clips_distributed
 
-    synth = synth_clips(n_clips=n_clips, seed=42)
-    clips, _ = clips_to_spark(spark, synth)
+    clips, _ = synth_clips_distributed(spark, n_clips=n_clips, seed=42)
     clips = clips.cache()
     clips.count()  # materialize input outside the timed section
     t0 = time.time()
     result = dedup_pipeline(spark, clips, DedupConfig())
     n = result.clusters.count()
+    clips.unpersist()
+    for df in (result.signatures, result.buckets, result.pairs, result.verified):
+        try:
+            df.unpersist()
+        except Exception:  # noqa: BLE001
+            pass
     return time.time() - t0, n
 
 

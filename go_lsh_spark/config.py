@@ -113,7 +113,11 @@ class DedupConfig:
     # corr~0.5 pairs through at ~30% and degenerate to all-pairs at scale.
     num_bands: int = 4
     rows_per_band: int = 16
-    feature_dim: int = 16
+    # 48 frames: at 16 the interpolated envelope has so little effective
+    # dimension that sign patterns concentrate into hot buckets (observed
+    # 1400-member buckets => 8.8M false candidates at 60k clips); more
+    # frames spread pairwise angles and buckets thin out
+    feature_dim: int = 48
     seed: int = 42
     # hash mean-centered features so bucket collision tracks the Pearson
     # verification score (see functions/vector.make_signature64_udf)
@@ -132,9 +136,10 @@ class DedupConfig:
     # winnow_k + winnow_window - 1 chars shares a fingerprint), capped at
     # winnow_max_df docs per fingerprint (stop-gram removal)
     min_common_substring: int = 30
-    winnow_k: int = 8
-    winnow_window: int = 4
-    winnow_max_df: int = 100
+    winnow_k: int = 12            # detection guarantee: k + window - 1 chars
+    winnow_window: int = 8        # = 19 < min_common_substring
+    winnow_max_df: int = 20       # fingerprints in more docs are stop-grams
+    winnow_min_matches: int = 2   # a 30-char common run shares ~3+ fingerprints
     # skew handling
     max_bucket_size: int = 2048  # split larger buckets with triangle salting
     salt_factor: int = 8

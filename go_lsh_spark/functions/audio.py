@@ -128,6 +128,86 @@ def make_decode_features_udf(feature_dim: int):
     return decode_features
 
 
+def make_clip_signature_udf(planes_stacked: np.ndarray, cfg) -> "object":
+    """FUSED per-clip projection: (bytes, codec, transcript) ->
+    struct(features array<double>, sig64 long, minhash array<long>,
+    winnow array<long>).
+
+    One Arrow crossing computes everything numpy-side:
+      * WAV decode + log-RMS envelope (this module)
+      * mean-centered L2-normalized SimHash sig64 against the broadcast
+        plane matrix (reference bit order, hyperplanes/hyperplanes.go:103-128)
+      * MinHash over transcript byte shingles (fasthash splitmix64 family)
+      * winnowing fingerprints for the suffix-array candidate path
+
+    Replaces a JVM expression tree that evaluated num_perm transforms per
+    row (64 x ~270 tuple-hashes: ~180s for 16k clips -> ~10s fused).
+    """
+    from pyspark.sql.types import (  # noqa: PLC0415
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from go_lsh_spark.functions import fasthash as FH  # noqa: PLC0415
+
+    # ArrayType/DoubleType are already module-level imports
+
+    dim = cfg.feature_dim
+    center = cfg.center_features
+    total_bits = cfg.num_bands * cfg.rows_per_band
+    weights = 1 << np.arange(63, 63 - total_bits, -1, dtype=np.uint64)
+    seeds = FH.perm_seeds(cfg.num_perm, seed=cfg.seed)
+    shingle_k = cfg.shingle_k
+    winnow_k = cfg.winnow_k
+    winnow_w = cfg.winnow_window
+
+    schema = StructType(
+        [
+            StructField("features", ArrayType(DoubleType())),
+            StructField("sig64", LongType()),
+            StructField("minhash", ArrayType(LongType())),
+            StructField("winnow", ArrayType(LongType())),
+        ]
+    )
+
+    @F.pandas_udf(schema)
+    def clip_signature(
+        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
+    ) -> Iterator[pd.DataFrame]:
+        for raw, codec, transcript in it:
+            feats = np.array(
+                [
+                    envelope_features(decode_clip(r, c), dim)
+                    for r, c in zip(raw, codec)
+                ]
+            )
+            m = feats.copy()
+            if center:
+                m -= m.mean(axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            np.divide(m, norms, out=m, where=norms != 0)
+            bits = (m @ planes_stacked.T) > 0.0
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            mins, winns = [], []
+            for t in transcript:
+                b = (t or "").encode("utf-8")
+                mh = FH.shingle_hashes_bytes(b, shingle_k)
+                mins.append(FH.minhash_from_hashes(mh, seeds).tolist())
+                wh = FH.shingle_hashes_bytes(b, winnow_k)
+                winns.append(FH.winnow_from_hashes(wh, winnow_w).tolist())
+            yield pd.DataFrame(
+                {
+                    "features": list(feats.tolist()),
+                    "sig64": sig,
+                    "minhash": mins,
+                    "winnow": winns,
+                }
+            )
+
+    return clip_signature
+
+
 def make_decode_pcm_udf():
     """(bytes, codec) -> array<double> raw PCM (test/invariant path only;
     production keeps PCM inside the fused decode+feature UDF above)."""

@@ -31,7 +31,10 @@ pair. Cold buckets take the plain self-join (AQE skew-join also on).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Iterator
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,21 +57,69 @@ def extract_features(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def build_signatures(features: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
+    """Signatures from a pre-extracted features frame (kept for callers that
+    already have features, e.g. streaming); the batch pipeline uses the
+    fused clips->signatures path below."""
     sig_udf = V.make_signature64_udf(
         planes, normalize=True, center=cfg.center_features
     )
-    # two projections: shingles materialize first so the num_perm MinHash
-    # lambdas each scan a ready array instead of re-shingling the transcript
-    # (Catalyst doesn't CSE across lambda boundaries)
-    with_sh = features.withColumn(
-        "_sh", F.array_distinct(T.char_shingles("transcript", cfg.shingle_k))
-    ).withColumn("_wh", T.shingle_hashes("transcript", cfg.winnow_k))
-    return with_sh.select(
+    from go_lsh_spark.functions import fasthash as FH  # noqa: PLC0415
+    from pyspark.sql.types import ArrayType, LongType  # noqa: PLC0415
+
+    seeds = FH.perm_seeds(cfg.num_perm, seed=cfg.seed)
+    sk, wk, ww = cfg.shingle_k, cfg.winnow_k, cfg.winnow_window
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def mh_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield pd.Series(
+                [
+                    FH.minhash_from_hashes(
+                        FH.shingle_hashes_bytes((t or "").encode(), sk), seeds
+                    ).tolist()
+                    for t in s
+                ]
+            )
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def wn_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in it:
+            yield pd.Series(
+                [
+                    FH.winnow_from_hashes(
+                        FH.shingle_hashes_bytes((t or "").encode(), wk), ww
+                    ).tolist()
+                    for t in s
+                ]
+            )
+
+    return features.select(
         "clip_id",
         "features",
         sig_udf(F.col("features")).alias("sig64"),
-        T.minhash_from_shingles("_sh", cfg.num_perm).alias("minhash"),
-        T.winnowing_from_hashes("_wh", cfg.winnow_window).alias("winnow"),
+        mh_udf("transcript").alias("minhash"),
+        wn_udf("transcript").alias("winnow"),
+        "transcript",
+    )
+
+
+def clips_to_signatures(clips: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
+    """The fused hot path: one Arrow crossing per batch computes decode,
+    features, sig64, MinHash, and winnowing together
+    (functions/audio.make_clip_signature_udf)."""
+    from go_lsh_spark.functions.audio import make_clip_signature_udf  # noqa: PLC0415
+
+    fused = make_clip_signature_udf(planes.stacked, cfg)
+    return clips.select(
+        "clip_id",
+        fused(F.col("bytes"), F.col("codec"), F.col("transcript")).alias("_s"),
+        "transcript",
+    ).select(
+        "clip_id",
+        F.col("_s.features").alias("features"),
+        F.col("_s.sig64").alias("sig64"),
+        F.col("_s.minhash").alias("minhash"),
+        F.col("_s.winnow").alias("winnow"),
         "transcript",
     )
 
@@ -182,8 +233,22 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         .agg(
             F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias("from_simhash"),
             F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias("from_minhash"),
-            F.max(F.when(F.col("src") == "winnow", 1).otherwise(0)).alias("from_winnow"),
+            F.sum(F.when(F.col("src") == "winnow", 1).otherwise(0)).alias("n_winnow"),
         )
+        # one shared fingerprint is noise (common word pair); a genuine
+        # >=min_common_substring-char overlap shares several. Pairs with no
+        # other evidence and too few shared fingerprints are dropped here,
+        # before the expensive verify stage.
+        .withColumn(
+            "from_winnow",
+            (F.col("n_winnow") >= cfg.winnow_min_matches).cast("int"),
+        )
+        .filter(
+            (F.col("from_simhash") == 1)
+            | (F.col("from_minhash") == 1)
+            | (F.col("from_winnow") == 1)
+        )
+        .drop("n_winnow")
     )
 
 
@@ -199,23 +264,42 @@ def verify_pairs(
              only for pairs that failed the cheap gates -- verification-stage
              cost control)
     """
+    # phase 1 -- narrow join: only sig64 rides along; simhash-only pairs
+    # above the Hamming budget die here, BEFORE the wide join hauls
+    # features + minhash + transcripts for millions of false candidates
+    # (the "more hyperplanes decrease direct comparisons" knob of the
+    # reference, configs/lshconfigs.go:44, applied post-hoc)
+    slim_a = signatures.select(
+        F.col("clip_id").alias("clip_id_a"), F.col("sig64").alias("sig64_a")
+    )
+    slim_b = signatures.select(
+        F.col("clip_id").alias("clip_id_b"), F.col("sig64").alias("sig64_b")
+    )
+    with_ham = (
+        pairs.join(slim_a, "clip_id_a")
+        .join(slim_b, "clip_id_b")
+        .withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
+        .filter(
+            (F.col("hamming") <= cfg.max_hamming)
+            | (F.col("from_minhash") == 1)
+            | (F.col("from_winnow") == 1)
+        )
+        .drop("sig64_a", "sig64_b")
+    )
     sig_a = signatures.select(
         F.col("clip_id").alias("clip_id_a"),
         F.col("features").alias("features_a"),
-        F.col("sig64").alias("sig64_a"),
         F.col("minhash").alias("minhash_a"),
         F.col("transcript").alias("transcript_a"),
     )
     sig_b = signatures.select(
         F.col("clip_id").alias("clip_id_b"),
         F.col("features").alias("features_b"),
-        F.col("sig64").alias("sig64_b"),
         F.col("minhash").alias("minhash_b"),
         F.col("transcript").alias("transcript_b"),
     )
     enriched = (
-        pairs.join(sig_a, "clip_id_a").join(sig_b, "clip_id_b")
-        .withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
+        with_ham.join(sig_a, "clip_id_a").join(sig_b, "clip_id_b")
         .withColumn("score", V.pearson("features_a", "features_b"))
         .withColumn("jaccard_est", T.jaccard_estimate("minhash_a", "minhash_b"))
     )
@@ -287,10 +371,17 @@ def dedup_pipeline(
     planes = PlaneSet(cfg.lsh_config())
 
     if warehouse is None:
-        features = extract_features(clips, cfg)
-        signatures = build_signatures(features, cfg, planes).cache()
-        buckets = build_buckets(signatures, cfg)
-        pairs = candidate_pairs(buckets, cfg)
+        # cache AND materialize each reused stage before fan-out: a cached
+        # DataFrame scanned N times within one job is computed N times if
+        # nothing populated the cache first (candidate_pairs scans buckets
+        # 3-4x, verify scans signatures twice -- observed 6x slowdown)
+        signatures = clips_to_signatures(clips, cfg, planes).cache()
+        signatures.count()
+        features = signatures.select("clip_id", "features")
+        buckets = build_buckets(signatures, cfg).cache()
+        buckets.count()
+        # pairs feeds verify exactly once -> lazy cache, no extra job
+        pairs = candidate_pairs(buckets, cfg).cache()
         verified = verify_pairs(pairs, signatures, cfg).cache()
         clusters = cluster_assignments(clips, verified, cfg)
         return DedupResult(features, signatures, buckets, pairs, verified, clusters)
@@ -298,7 +389,7 @@ def dedup_pipeline(
     cfg_dict = {k: getattr(cfg, k) for k in cfg.__dataclass_fields__}
     signatures = warehouse.run(
         "signatures",
-        lambda: build_signatures(extract_features(clips, cfg), cfg, planes),
+        lambda: clips_to_signatures(clips, cfg, planes),
         config=cfg_dict,
         inputs=["clips"],
     )

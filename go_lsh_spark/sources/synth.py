@@ -187,6 +187,102 @@ def synth_clips(
     return SynthResult(clips=clips, truth=truth, substring_pairs=substring_pairs)
 
 
+def synth_clips_distributed(
+    spark,
+    n_clips: int,
+    seed: int = 42,
+    mean_group_size: float = 3.0,
+    sr_choices: tuple[int, ...] = (8000, 16000),
+    dur_range_ms: tuple[int, int] = (2000, 8000),
+    transcript_tokens: int = 40,
+):
+    """Executor-side corpus synthesis for bench scale: the driver builds a
+    small spec table (ids, group assignments, per-clip seeds, transcripts --
+    a few MB at 100k clips) and WAV rendering happens in mapInPandas on the
+    workers. Deterministic: every random quantity derives from (seed,
+    clip index) via independent PCG streams, so the corpus is identical at
+    any parallelism. Returns (clips_df, truth_df).
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    rng = np.random.default_rng(seed)
+    specs = []
+    group_id, made = 0, 0
+    while made < n_clips:
+        fam = FAMILIES[group_id % len(FAMILIES)]
+        size = min(1 + rng.geometric(1.0 / mean_group_size), n_clips - made)
+        sr = int(sr_choices[int(rng.integers(0, len(sr_choices)))])
+        dur = int(rng.integers(dur_range_ms[0], dur_range_ms[1] + 1))
+        carrier = float(rng.uniform(200.0, 800.0))
+        env_seed = int(rng.integers(0, 2**31))
+        tokens = _sentence(rng, transcript_tokens)
+        for m in range(size):
+            gain = 1.0 if m == 0 else float(rng.uniform(0.7, 1.3))
+            tr = tokens if m == 0 else _perturb_tokens(tokens, rng, int(rng.integers(0, 3)))
+            specs.append(
+                {
+                    "clip_id": f"clip_{made:06d}",
+                    "group_id": group_id,
+                    "family": fam,
+                    "sr_hz": sr,
+                    "dur_ms": dur,
+                    "carrier": carrier,
+                    "env_seed": env_seed,
+                    "member": m,
+                    "gain": gain,
+                    "noise_seed": int(rng.integers(0, 2**31)),
+                    "transcript": " ".join(tr),
+                }
+            )
+            made += 1
+        group_id += 1
+    spec_pdf = pd.DataFrame(specs)
+    spec_df = spark.createDataFrame(spec_pdf).repartition(
+        max(spark.sparkContext.defaultParallelism * 2, 8), "clip_id"
+    )
+
+    def render(batches):
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                erng = np.random.default_rng(int(r["env_seed"]))
+                fam_env = family_envelope(r["family"])
+                lo, hi = fam_env.min(), fam_env.max()
+                fam01 = (fam_env - lo) / (hi - lo) if hi > lo else np.ones_like(fam_env)
+                env = 0.25 * fam01 + 0.75 * erng.uniform(0.0, 1.0, size=len(fam_env))
+                base = _render_pcm(env, int(r["sr_hz"]), int(r["dur_ms"]), float(r["carrier"]), erng)
+                if int(r["member"]) > 0:
+                    nrng = np.random.default_rng(int(r["noise_seed"]))
+                    pcm = np.clip(
+                        base * float(r["gain"]) + nrng.normal(scale=0.003, size=len(base)),
+                        -1.0, 1.0,
+                    )
+                else:
+                    pcm = base
+                out.append(
+                    {
+                        "clip_id": r["clip_id"],
+                        "bytes": encode_wav(pcm, int(r["sr_hz"])),
+                        "sr_hz": int(r["sr_hz"]),
+                        "dur_ms": int(r["dur_ms"]),
+                        "codec": CODEC_WAV,
+                        "transcript": r["transcript"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    clips = spec_df.mapInPandas(
+        render,
+        schema=(
+            "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+            "codec string, transcript string"
+        ),
+    )
+    truth = spec_df.select("clip_id", "group_id", "family")
+    return clips, truth
+
+
 def clips_to_spark(spark, result: SynthResult):
     schema = (
         "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, "

@@ -16,7 +16,7 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-N_CLIPS = int(os.environ.get("SCALING_N_CLIPS", "4000"))
+N_CLIPS = int(os.environ.get("SCALING_N_CLIPS", "16000"))
 
 CHILD = r"""
 import json, sys, time
