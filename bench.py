@@ -38,7 +38,9 @@ def run_dedup(spark, n_clips: int) -> tuple[float, int]:
     from go_lsh_spark.operators.dedup import dedup_pipeline
     from go_lsh_spark.sources.synth import synth_clips_distributed
 
-    clips, _ = synth_clips_distributed(spark, n_clips=n_clips, seed=42)
+    clips, _ = synth_clips_distributed(
+        spark, n_clips=n_clips, seed=42, partitions=max(n_clips // 256, 16)
+    )
     clips = clips.cache()
     clips.count()  # materialize input outside the timed section
     t0 = time.time()

@@ -50,27 +50,30 @@ def encode_wav(pcm: np.ndarray, sr_hz: int) -> bytes:
     return hdr + data
 
 
-def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
-    """WAV bytes -> (float64 PCM in [-1,1], sr_hz). Walks RIFF chunks; only
-    PCM-16 mono is supported."""
-    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+def decode_wav(raw) -> tuple[np.ndarray, int]:
+    """WAV bytes (any buffer-protocol object: bytes, memoryview) ->
+    (float64 PCM in [-1,1], sr_hz). Walks RIFF chunks via unpack_from /
+    frombuffer offsets -- zero-copy until the final float conversion, so
+    Arrow value buffers can be sliced without materializing Python bytes."""
+    mv = memoryview(raw)
+    if bytes(mv[:4]) != b"RIFF" or bytes(mv[8:12]) != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
-    pos, sr, data = 12, None, None
-    while pos + 8 <= len(raw):
-        cid = raw[pos : pos + 4]
-        (size,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
-        body = raw[pos + 8 : pos + 8 + size]
+    pos, sr, data_off, data_len = 12, None, None, 0
+    n = len(mv)
+    while pos + 8 <= n:
+        cid = bytes(mv[pos : pos + 4])
+        (size,) = struct.unpack_from("<I", mv, pos + 4)
         if cid == b"fmt ":
-            fmt, ch, sr, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            fmt, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", mv, pos + 8)
             if (fmt, ch, bits) != (1, 1, 16):
                 raise ValueError("only pcm_s16le mono supported")
         elif cid == b"data":
-            data = body
+            data_off, data_len = pos + 8, size
         pos += 8 + size + (size & 1)
-    if sr is None or data is None:
+    if sr is None or data_off is None:
         raise ValueError("missing fmt/data chunk")
-    pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
-    return pcm, sr
+    pcm = np.frombuffer(mv, dtype="<i2", count=data_len // 2, offset=data_off)
+    return pcm.astype(np.float64) / 32767.0, sr
 
 
 def decode_clip(raw: bytes, codec: str) -> np.ndarray:
@@ -126,86 +129,6 @@ def make_decode_features_udf(feature_dim: int):
             yield pd.Series(out)
 
     return decode_features
-
-
-def make_clip_signature_udf(planes_stacked: np.ndarray, cfg) -> "object":
-    """FUSED per-clip projection: (bytes, codec, transcript) ->
-    struct(features array<double>, sig64 long, minhash array<long>,
-    winnow array<long>).
-
-    One Arrow crossing computes everything numpy-side:
-      * WAV decode + log-RMS envelope (this module)
-      * mean-centered L2-normalized SimHash sig64 against the broadcast
-        plane matrix (reference bit order, hyperplanes/hyperplanes.go:103-128)
-      * MinHash over transcript byte shingles (fasthash splitmix64 family)
-      * winnowing fingerprints for the suffix-array candidate path
-
-    Replaces a JVM expression tree that evaluated num_perm transforms per
-    row (64 x ~270 tuple-hashes: ~180s for 16k clips -> ~10s fused).
-    """
-    from pyspark.sql.types import (  # noqa: PLC0415
-        LongType,
-        StructField,
-        StructType,
-    )
-
-    from go_lsh_spark.functions import fasthash as FH  # noqa: PLC0415
-
-    # ArrayType/DoubleType are already module-level imports
-
-    dim = cfg.feature_dim
-    center = cfg.center_features
-    total_bits = cfg.num_bands * cfg.rows_per_band
-    weights = 1 << np.arange(63, 63 - total_bits, -1, dtype=np.uint64)
-    seeds = FH.perm_seeds(cfg.num_perm, seed=cfg.seed)
-    shingle_k = cfg.shingle_k
-    winnow_k = cfg.winnow_k
-    winnow_w = cfg.winnow_window
-
-    schema = StructType(
-        [
-            StructField("features", ArrayType(DoubleType())),
-            StructField("sig64", LongType()),
-            StructField("minhash", ArrayType(LongType())),
-            StructField("winnow", ArrayType(LongType())),
-        ]
-    )
-
-    @F.pandas_udf(schema)
-    def clip_signature(
-        it: Iterator[tuple[pd.Series, pd.Series, pd.Series]],
-    ) -> Iterator[pd.DataFrame]:
-        for raw, codec, transcript in it:
-            feats = np.array(
-                [
-                    envelope_features(decode_clip(r, c), dim)
-                    for r, c in zip(raw, codec)
-                ]
-            )
-            m = feats.copy()
-            if center:
-                m -= m.mean(axis=1, keepdims=True)
-            norms = np.linalg.norm(m, axis=1, keepdims=True)
-            np.divide(m, norms, out=m, where=norms != 0)
-            bits = (m @ planes_stacked.T) > 0.0
-            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
-            mins, winns = [], []
-            for t in transcript:
-                b = (t or "").encode("utf-8")
-                mh = FH.shingle_hashes_bytes(b, shingle_k)
-                mins.append(FH.minhash_from_hashes(mh, seeds).tolist())
-                wh = FH.shingle_hashes_bytes(b, winnow_k)
-                winns.append(FH.winnow_from_hashes(wh, winnow_w).tolist())
-            yield pd.DataFrame(
-                {
-                    "features": list(feats.tolist()),
-                    "sig64": sig,
-                    "minhash": mins,
-                    "winnow": winns,
-                }
-            )
-
-    return clip_signature
 
 
 def make_decode_pcm_udf():

@@ -104,23 +104,96 @@ def build_signatures(features: DataFrame, cfg: DedupConfig, planes: PlaneSet) ->
 
 
 def clips_to_signatures(clips: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
-    """The fused hot path: one Arrow crossing per batch computes decode,
-    features, sig64, MinHash, and winnowing together
-    (functions/audio.make_clip_signature_udf)."""
-    from go_lsh_spark.functions.audio import make_clip_signature_udf  # noqa: PLC0415
+    """The fused hot path: ONE mapInArrow crossing computes decode,
+    features, sig64, MinHash, and winnowing.
 
-    fused = make_clip_signature_udf(planes.stacked, cfg)
-    return clips.select(
-        "clip_id",
-        fused(F.col("bytes"), F.col("codec"), F.col("transcript")).alias("_s"),
-        "transcript",
-    ).select(
-        "clip_id",
-        F.col("_s.features").alias("features"),
-        F.col("_s.sig64").alias("sig64"),
-        F.col("_s.minhash").alias("minhash"),
-        F.col("_s.winnow").alias("winnow"),
-        "transcript",
+    mapInArrow (per input_hint) instead of a pandas UDF: the WAV bytes are
+    read straight out of the Arrow value buffer as memoryview slices
+    (zero-copy into numpy) -- the pandas path materializes every clip as a
+    Python bytes object and measured ~2.8x slower on a 7GB binary column.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+
+    from go_lsh_spark.functions import fasthash as FH  # noqa: PLC0415
+    from go_lsh_spark.functions.audio import decode_clip, envelope_features  # noqa: PLC0415
+
+    stacked = planes.stacked
+    dim = cfg.feature_dim
+    center = cfg.center_features
+    total_bits = cfg.num_bands * cfg.rows_per_band
+    weights = 1 << np.arange(63, 63 - total_bits, -1, dtype=np.uint64)
+    seeds = FH.perm_seeds(cfg.num_perm, seed=cfg.seed)
+    sk, wk, ww = cfg.shingle_k, cfg.winnow_k, cfg.winnow_window
+
+    def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for rb in batches:
+            nrows = rb.num_rows
+            bin_col = rb.column(1)  # bytes
+            offs = np.frombuffer(bin_col.buffers()[1], dtype=np.int32)[
+                bin_col.offset : bin_col.offset + nrows + 1
+            ]
+            values = memoryview(bin_col.buffers()[2])
+            codecs = rb.column(2).to_pylist()
+            transcripts = rb.column(3).to_pylist()
+
+            feats = np.empty((nrows, dim), dtype=np.float64)
+            for i in range(nrows):
+                feats[i] = envelope_features(
+                    decode_clip(values[offs[i] : offs[i + 1]], codecs[i]), dim
+                )
+            m = feats.copy()
+            if center:
+                m -= m.mean(axis=1, keepdims=True)
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            np.divide(m, norms, out=m, where=norms != 0)
+            bits = (m @ stacked.T) > 0.0
+            sig = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+
+            mh = np.empty((nrows, cfg.num_perm), dtype=np.int64)
+            winn_vals, winn_offs = [], [0]
+            for i, t in enumerate(transcripts):
+                b = (t or "").encode("utf-8")
+                mh[i] = FH.minhash_from_hashes(FH.shingle_hashes_bytes(b, sk), seeds)
+                w = FH.winnow_from_hashes(FH.shingle_hashes_bytes(b, wk), ww)
+                winn_vals.append(w)
+                winn_offs.append(winn_offs[-1] + len(w))
+
+            feat_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (nrows + 1) * dim, dim, dtype=np.int32)),
+                pa.array(feats.reshape(-1)),
+            )
+            mh_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (nrows + 1) * cfg.num_perm, cfg.num_perm, dtype=np.int32)
+                ),
+                pa.array(mh.reshape(-1)),
+            )
+            winn_arr = pa.ListArray.from_arrays(
+                pa.array(np.array(winn_offs, dtype=np.int32)),
+                pa.array(
+                    np.concatenate(winn_vals)
+                    if winn_vals
+                    else np.empty(0, dtype=np.int64)
+                ),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    feat_arr,
+                    pa.array(sig),
+                    mh_arr,
+                    winn_arr,
+                    rb.column(3),
+                ],
+                names=["clip_id", "features", "sig64", "minhash", "winnow", "transcript"],
+            )
+
+    return clips.select("clip_id", "bytes", "codec", "transcript").mapInArrow(
+        gen,
+        schema=(
+            "clip_id string, features array<double>, sig64 long, "
+            "minhash array<long>, winnow array<long>, transcript string"
+        ),
     )
 
 
@@ -157,24 +230,34 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.explode("winnow").alias("hash"),
         "clip_id",
     ).dropDuplicates(["hash", "clip_id"])
-    # shuffle join, not broadcast: the distinct-fingerprint set grows with
-    # the corpus and would not fit a broadcast at 10^12 clips
-    df_counts = winnow.groupBy("hash").agg(F.count(F.lit(1)).alias("_df"))
-    winnow = winnow.join(
-        df_counts.filter(F.col("_df") <= cfg.winnow_max_df), "hash"
-    ).select("src", "band", "hash", "clip_id")
+    # document-frequency cap via a window count over the fingerprint shuffle
+    # (one shuffle; a count-table join would need a broadcast that cannot
+    # exist at 10^12 clips)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    winnow = (
+        winnow.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("hash"))
+        )
+        .filter(F.col("_df") <= cfg.winnow_max_df)
+        .select("src", "band", "hash", "clip_id")
+    )
     return audio.unionByName(text).unionByName(winnow)
 
 
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (clip_id_a < clip_id_b) pairs sharing any bucket, with the
     evidence sources that produced them. Skew-split: see module docstring."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
     key = ["src", "band", "hash"]
-    sizes = buckets.groupBy(*key).agg(F.count(F.lit(1)).alias("_bsize"))
-    # singleton buckets can't produce pairs; hot buckets go to the salted path
-    sized = buckets.join(
-        F.broadcast(sizes.filter(F.col("_bsize") > 1)), key, "inner"
-    )
+    # bucket sizes via a window count over the bucket shuffle -- one shuffle,
+    # no driver-side broadcast build (the size table is O(distinct buckets)
+    # and was a serial bottleneck as a broadcast at 60k clips; at 10^12 it
+    # could never broadcast)
+    sized = buckets.withColumn(
+        "_bsize", F.count(F.lit(1)).over(Window.partitionBy(*key))
+    ).filter(F.col("_bsize") > 1)  # singleton buckets can't produce pairs
     cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
     hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
 
@@ -276,8 +359,8 @@ def verify_pairs(
         F.col("clip_id").alias("clip_id_b"), F.col("sig64").alias("sig64_b")
     )
     with_ham = (
-        pairs.join(slim_a, "clip_id_a")
-        .join(slim_b, "clip_id_b")
+        pairs.join(slim_a.hint("shuffle_hash"), "clip_id_a")
+        .join(slim_b.hint("shuffle_hash"), "clip_id_b")
         .withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
         .filter(
             (F.col("hamming") <= cfg.max_hamming)
@@ -299,7 +382,8 @@ def verify_pairs(
         F.col("transcript").alias("transcript_b"),
     )
     enriched = (
-        with_ham.join(sig_a, "clip_id_a").join(sig_b, "clip_id_b")
+        with_ham.join(sig_a.hint("shuffle_hash"), "clip_id_a")
+        .join(sig_b.hint("shuffle_hash"), "clip_id_b")
         .withColumn("score", V.pearson("features_a", "features_b"))
         .withColumn("jaccard_est", T.jaccard_estimate("minhash_a", "minhash_b"))
     )

@@ -195,6 +195,7 @@ def synth_clips_distributed(
     sr_choices: tuple[int, ...] = (8000, 16000),
     dur_range_ms: tuple[int, int] = (2000, 8000),
     transcript_tokens: int = 40,
+    partitions: int | None = None,
 ):
     """Executor-side corpus synthesis for bench scale: the driver builds a
     small spec table (ids, group assignments, per-clip seeds, transcripts --
@@ -238,9 +239,14 @@ def synth_clips_distributed(
             made += 1
         group_id += 1
     spec_pdf = pd.DataFrame(specs)
-    spec_df = spark.createDataFrame(spec_pdf).repartition(
-        max(spark.sparkContext.defaultParallelism * 2, 8), "clip_id"
-    )
+    # partition count matters beyond CPU: the JVM->Python Arrow stream of
+    # the binary column is kernel-pipe-bound PER TASK (~10-20MB/s each), so
+    # big-binary UDF stages need many concurrent streams, not just many
+    # cores (measured: 60k clips x ~120KB, 64 partitions -> 56s crossing;
+    # 256 partitions -> 15s)
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
+    spec_df = spark.createDataFrame(spec_pdf).repartition(partitions, "clip_id")
 
     def render(batches):
         for pdf in batches:
