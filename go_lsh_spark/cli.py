@@ -64,12 +64,16 @@ def main(argv=None) -> int:
             print(json.dumps({"written": args.n_clips, "out": args.out}))
         elif args.cmd == "dedup":
             from go_lsh_spark.operators.dedup import dedup_pipeline
-            from go_lsh_spark.sources.catalog import Warehouse
+            from go_lsh_spark.sources.catalog import Warehouse, external_input_id
 
             clips = spark.read.parquet(args.clips)
             wh = Warehouse(spark, args.warehouse)
             res = dedup_pipeline(
-                spark, clips, DedupConfig(threshold=args.threshold), warehouse=wh
+                spark,
+                clips,
+                DedupConfig(threshold=args.threshold),
+                warehouse=wh,
+                input_id=external_input_id(args.clips),
             )
             n = res.clusters.count()
             print(json.dumps({"clusters_rows": n, "stages": wh.metrics()}, indent=2))

@@ -27,18 +27,17 @@ class SparkLSH:
         self.forward: DataFrame | None = None
         self.rejects: DataFrame | None = None
 
-    def index(self, docs: DataFrame, merge_series: bool | None = None, cache: bool = True) -> "SparkLSH":
+    def index(self, docs: DataFrame, merge_series: bool = True, cache: bool = True) -> "SparkLSH":
         """Ingest (uid, index, vector) documents: O5.
 
-        merge_series=None auto-detects: splice-merge only if some uid has
-        multiple windows (the reference always merges; the single-window
-        fast path skips the shuffle).
+        merge_series=True is the reference semantics (LSH.Index always
+        splice-merges windows of the same uid, forwardindex/inmemory.go:30-59).
+        Pass False for corpora where every uid appears once -- that skips the
+        merge shuffle entirely. (r1 ran an eager groupBy-count job here to
+        auto-detect; a full driver-side pass per index() call was a serial
+        scaling cost, so detection is now the caller's choice.)
         """
         valid, rejects = I.validate_documents(docs, self.cfg)
-        if merge_series is None:
-            merge_series = (
-                valid.groupBy("uid").count().filter(F.col("count") > 1).limit(1).count() > 0
-            )
         buckets = I.build_buckets(valid, self.cfg, self.planes)
         forward = I.build_forward_index(valid, self.cfg, merge=merge_series)
         if cache:
@@ -79,9 +78,11 @@ class SparkLSH:
             # driver-side this pushes to the scan as a partition/parquet
             # filter (the reference's row enumeration, tables/tables.go:
             # 113-122, as static pruning)
+            from go_lsh_spark.oracle import go_div
+
             rs = self.cfg.row_size
-            start_row = int((index - opts.max_lag) / rs) * rs
-            end_row = int((index + opts.max_lag) / rs) * rs
+            start_row = go_div(index - opts.max_lag, rs) * rs
+            end_row = go_div(index + opts.max_lag, rs) * rs
             buckets = buckets.filter(F.col("row_index").between(start_row, end_row))
         res = S.search(q, buckets, self.forward, self.cfg, self.planes, opts)
         rows = res.scores.orderBy("rank").collect()

@@ -414,8 +414,11 @@ def q_row_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read(spark, sf_dir, "events").withColumn(
         "idx", F.unix_timestamp("ts").cast("long")
     )
+    # F.floor to match the DuckDB oracle's integer // exactly (a double
+    # cast truncates in Spark but rounds in DuckDB's CAST -- boundary rows
+    # at pivot +/- lag would flip nondeterministically on odd sums)
     pivot = ev.agg(
-        ((F.min("idx") + F.max("idx")) / 2).cast("long").alias("p")
+        F.floor((F.min("idx") + F.max("idx")) / 2).alias("p")
     ).collect()[0]["p"]
     lag = 86400
     filtered = ev.filter(F.col("idx").between(pivot - lag, pivot + lag))
@@ -430,7 +433,7 @@ def q_row_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_row_index_pruning() -> str:
     return """
     WITH ev AS (SELECT CAST(epoch(ts) AS BIGINT) AS idx FROM events),
-    mid AS (SELECT CAST((MIN(idx) + MAX(idx)) / 2 AS BIGINT) AS center FROM ev)
+    mid AS (SELECT (MIN(idx) + MAX(idx)) // 2 AS center FROM ev)
     SELECT (idx // 7200) * 7200 AS row_index, COUNT(*) AS n
     FROM ev, mid WHERE idx BETWEEN center - 86400 AND center + 86400
     GROUP BY 1 ORDER BY 1

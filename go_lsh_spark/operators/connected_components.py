@@ -89,7 +89,13 @@ def connected_components(
     emitted (union the full vertex set downstream)."""
     cur = _canon(edges, src, dst).localCheckpoint()
     prev_sig = _checksum(cur)
-    for _ in range(max_iterations):
+    # two star rounds per checkpoint + checksum: halves the driver-side
+    # actions (each localCheckpoint and each checksum agg is a serial job
+    # whose fixed latency does not parallelize -- an r1 scaling-gate
+    # finding); a fixed point stays fixed across the doubled round, so
+    # convergence detection is unaffected.
+    for _ in range((max_iterations + 1) // 2):
+        cur = _small_star(_large_star(cur))
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _checksum(cur)
         if sig == prev_sig:

@@ -46,6 +46,8 @@ from go_lsh_spark.hyperplanes import PlaneSet
 from go_lsh_spark.operators.connected_components import connected_components
 from go_lsh_spark.operators.suffix import lcs_pairs
 
+_I64_MAX = (1 << 63) - 1  # the empty-shingle MinHash sentinel (fasthash.py:58)
+
 
 def extract_features(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     decode = make_decode_features_udf(cfg.feature_dim)
@@ -219,6 +221,17 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         ).alias("band", "hash"),
         "clip_id",
     )
+    # empty/short transcripts produce the all-int64.max sentinel MinHash
+    # signature (functions/fasthash.py:58); emitting their bands would
+    # collide every transcript-less clip in one bucket and falsely verify
+    # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
+    text = text.join(
+        signatures.filter(
+            F.element_at("minhash", 1) != F.lit(_I64_MAX)
+        ).select("clip_id"),
+        "clip_id",
+        "left_semi",
+    ).select("src", "band", "hash", "clip_id")
     # winnowing fingerprints: the suffix-array path's candidate source --
     # a common substring of >= winnow_k + winnow_window - 1 chars guarantees
     # a shared fingerprint (Schleimer et al. 2003). Fingerprints present in
@@ -230,17 +243,20 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.explode("winnow").alias("hash"),
         "clip_id",
     ).dropDuplicates(["hash", "clip_id"])
-    # document-frequency cap via a window count over the fingerprint shuffle
-    # (one shuffle; a count-table join would need a broadcast that cannot
-    # exist at 10^12 clips)
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
-    winnow = (
-        winnow.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("hash"))
-        )
+    # document-frequency cap: groupBy + left-semi join, NOT a window count --
+    # a window partition must fit one task, so the very stop-gram this cap
+    # defends against would funnel its whole membership through a single
+    # task at 10^12 rows; the groupBy is map-side-combined and the join is
+    # an AQE-splittable shuffle (the count table is O(distinct fingerprints),
+    # never built driver-side)
+    rare = (
+        winnow.groupBy("hash")
+        .agg(F.count(F.lit(1)).alias("_df"))
         .filter(F.col("_df") <= cfg.winnow_max_df)
-        .select("src", "band", "hash", "clip_id")
+        .select("hash")
+    )
+    winnow = winnow.join(rare, "hash", "left_semi").select(
+        "src", "band", "hash", "clip_id"
     )
     return audio.unionByName(text).unionByName(winnow)
 
@@ -248,16 +264,20 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (clip_id_a < clip_id_b) pairs sharing any bucket, with the
     evidence sources that produced them. Skew-split: see module docstring."""
-    from pyspark.sql.window import Window  # noqa: PLC0415
-
     key = ["src", "band", "hash"]
-    # bucket sizes via a window count over the bucket shuffle -- one shuffle,
-    # no driver-side broadcast build (the size table is O(distinct buckets)
-    # and was a serial bottleneck as a broadcast at 60k clips; at 10^12 it
-    # could never broadcast)
-    sized = buckets.withColumn(
-        "_bsize", F.count(F.lit(1)).over(Window.partitionBy(*key))
-    ).filter(F.col("_bsize") > 1)  # singleton buckets can't produce pairs
+    # bucket sizes via groupBy + shuffle join, NOT a window count: a window
+    # partition must fit one task, so a degenerate hot bucket would land its
+    # entire membership in a single task *before* the salting below could
+    # act. The groupBy is map-side-combined; the join key is the bucket key,
+    # so AQE's skew-join can split a hot bucket across tasks. The size table
+    # is O(distinct buckets) -- it is joined, never collected or broadcast
+    # (could not exist driver-side at 10^12 clips).
+    sizes = (
+        buckets.groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("_bsize"))
+        .filter(F.col("_bsize") > 1)  # singleton buckets can't produce pairs
+    )
+    sized = buckets.join(sizes, key)
     cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
     hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
 
@@ -373,19 +393,27 @@ def verify_pairs(
         F.col("clip_id").alias("clip_id_a"),
         F.col("features").alias("features_a"),
         F.col("minhash").alias("minhash_a"),
-        F.col("transcript").alias("transcript_a"),
     )
     sig_b = signatures.select(
         F.col("clip_id").alias("clip_id_b"),
         F.col("features").alias("features_b"),
         F.col("minhash").alias("minhash_b"),
-        F.col("transcript").alias("transcript_b"),
+    )
+    # jaccard of two empty-transcript sentinel signatures is vacuously 1.0;
+    # a missing transcript is no text evidence at all -> NULL (fails text_ok)
+    sentinel = (F.element_at("minhash_a", 1) == F.lit(_I64_MAX)) | (
+        F.element_at("minhash_b", 1) == F.lit(_I64_MAX)
     )
     enriched = (
         with_ham.join(sig_a.hint("shuffle_hash"), "clip_id_a")
         .join(sig_b.hint("shuffle_hash"), "clip_id_b")
         .withColumn("score", V.pearson("features_a", "features_b"))
-        .withColumn("jaccard_est", T.jaccard_estimate("minhash_a", "minhash_b"))
+        .withColumn(
+            "jaccard_est",
+            F.when(sentinel, F.lit(None).cast("double")).otherwise(
+                T.jaccard_estimate("minhash_a", "minhash_b")
+            ),
+        )
     )
     audio_ok = (
         (F.col("hamming") <= cfg.max_hamming)
@@ -393,15 +421,29 @@ def verify_pairs(
         & (F.col("score") >= cfg.threshold)
     )
     text_ok = F.col("jaccard_est") >= cfg.jaccard_threshold
-    cheap = enriched.withColumn("audio_ok", audio_ok).withColumn("text_ok", text_ok)
+    cheap = enriched.withColumn("audio_ok", audio_ok).withColumn(
+        "text_ok", F.coalesce(text_ok, F.lit(False))
+    )
     passed_cheap = cheap.filter(F.col("audio_ok") | F.col("text_ok")).withColumn(
         "lcs_len", F.lit(None).cast("int")
     )
     # suffix-array LCS only where substring evidence is possible: pairs the
     # winnowing fingerprints surfaced (cost control -- LCS is the expensive
-    # verifier and simhash/minhash misses carry no substring signal)
+    # verifier and simhash/minhash misses carry no substring signal).
+    # Transcripts join HERE, onto the needs_lcs subset only -- hauling them
+    # onto every enriched pair would dominate the verify-stage shuffle width
+    # at scale for rows that never read them.
     needs_lcs = cheap.filter(
         ~(F.col("audio_ok") | F.col("text_ok")) & (F.col("from_winnow") == 1)
+    )
+    tr_a = signatures.select(
+        F.col("clip_id").alias("clip_id_a"), F.col("transcript").alias("transcript_a")
+    )
+    tr_b = signatures.select(
+        F.col("clip_id").alias("clip_id_b"), F.col("transcript").alias("transcript_b")
+    )
+    needs_lcs = needs_lcs.join(tr_a.hint("shuffle_hash"), "clip_id_a").join(
+        tr_b.hint("shuffle_hash"), "clip_id_b"
     )
     with_lcs = lcs_pairs(needs_lcs).filter(
         F.col("lcs_len") >= cfg.min_common_substring
@@ -447,23 +489,31 @@ def dedup_pipeline(
     clips: DataFrame,
     cfg: DedupConfig | None = None,
     warehouse=None,
+    input_id: str | None = None,
 ) -> DedupResult:
     """Run the full pipeline. With a Warehouse, every stage is a
     write-or-resume checkpoint with lineage metrics (north_rule
-    resumability); without, stages stay lazy (cached where reused)."""
+    resumability); without, stages stay lazy (cached where reused).
+
+    input_id identifies the external clips input (use
+    sources.catalog.external_input_id on its path); it chains into the
+    signature-stage fingerprint so a different corpus against the same
+    warehouse invalidates instead of resuming stale stages."""
     cfg = cfg or DedupConfig()
     planes = PlaneSet(cfg.lsh_config())
 
     if warehouse is None:
-        # cache AND materialize each reused stage before fan-out: a cached
-        # DataFrame scanned N times within one job is computed N times if
-        # nothing populated the cache first (candidate_pairs scans buckets
-        # 3-4x, verify scans signatures twice -- observed 6x slowdown)
+        # cache signatures and materialize them ONCE (the Python-UDF decode
+        # stage is the expensive pass; a cached DataFrame scanned N times
+        # within one job is computed N times if nothing populated the cache
+        # first -- observed 6x slowdown). buckets is cached lazily: its
+        # recompute is a JVM-side explode over the already-cached signatures,
+        # so a second driver-side count barrier buys nothing and serializes
+        # the pipeline (r1 scaling-gate finding).
         signatures = clips_to_signatures(clips, cfg, planes).cache()
         signatures.count()
         features = signatures.select("clip_id", "features")
         buckets = build_buckets(signatures, cfg).cache()
-        buckets.count()
         # pairs feeds verify exactly once -> lazy cache, no extra job
         pairs = candidate_pairs(buckets, cfg).cache()
         verified = verify_pairs(pairs, signatures, cfg).cache()
@@ -471,6 +521,8 @@ def dedup_pipeline(
         return DedupResult(features, signatures, buckets, pairs, verified, clusters)
 
     cfg_dict = {k: getattr(cfg, k) for k in cfg.__dataclass_fields__}
+    if input_id is not None:
+        cfg_dict["__input_id__"] = input_id
     signatures = warehouse.run(
         "signatures",
         lambda: clips_to_signatures(clips, cfg, planes),

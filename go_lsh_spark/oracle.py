@@ -52,6 +52,18 @@ class DocumentNotStored(KeyError):
     """document id is not stored in the lsh tables (lsherrors/lsherrors.go:5-8)"""
 
 
+def go_div(a: int, b: int) -> int:
+    """Go integer division truncates toward zero; Python's // floors toward
+    -inf. They differ exactly when the signs differ and there is a remainder
+    -- shared by the oracle and any driver-side row bucketing so negative
+    indexes enumerate the same rows as the reference (and as the Spark
+    kernel's _go_div, functions/vector.py)."""
+    q = a // b
+    if a % b != 0 and (a < 0) != (b < 0):
+        q += 1
+    return q
+
+
 def _l2_normalize(v: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(v)
     return v / n if n != 0 else v
@@ -108,7 +120,7 @@ class OracleLSH:
             raise NoVectorComplexity
         hashed = _l2_normalize(vec) if self.cfg.normalize else vec
         hashes = self.planes.hash_tables(hashed[None, :])[0]  # (T,)
-        row_index = index // self.cfg.row_size * self.cfg.row_size
+        row_index = go_div(index, self.cfg.row_size) * self.cfg.row_size
         for t in range(self.cfg.num_tables):
             h = int(hashes[t])
             self.tables[t].setdefault(row_index, {}).setdefault(h, set()).add(uid)
@@ -120,7 +132,7 @@ class OracleLSH:
         overwrite overlap, zero-pad gap, drop past-dated windows."""
         if uid in self.docs:
             cur_index, cur_vec = self.docs[uid]
-            offset = index // self.cfg.sample_period - cur_index // self.cfg.sample_period
+            offset = go_div(index, self.cfg.sample_period) - go_div(cur_index, self.cfg.sample_period)
             if offset > 0:
                 need = offset + len(vec)
                 if need > len(cur_vec):
@@ -138,7 +150,7 @@ class OracleLSH:
         if uid not in self.docs:
             return None
         d_index, vec = self.docs[uid]
-        start = (idx - d_index) // self.cfg.sample_period
+        start = go_div(idx - d_index, self.cfg.sample_period)
         end = min(start + self.cfg.vector_length, len(vec))
         out = np.zeros(self.cfg.vector_length)
         if start < end:
@@ -215,8 +227,8 @@ class OracleLSH:
         for t in range(self.cfg.num_tables):
             h = int(hashes[t])
             if max_lag > ALL_LAGS:
-                start_row = start_idx // self.cfg.row_size * self.cfg.row_size
-                end_row = end_idx // self.cfg.row_size * self.cfg.row_size
+                start_row = go_div(start_idx, self.cfg.row_size) * self.cfg.row_size
+                end_row = go_div(end_idx, self.cfg.row_size) * self.cfg.row_size
                 rows = range(start_row, end_row + 1, self.cfg.row_size)
             else:
                 rows = list(self.tables[t].keys())

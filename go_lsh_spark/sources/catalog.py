@@ -182,5 +182,26 @@ class Warehouse:
         }
 
 
+def external_input_id(path: str) -> str:
+    """Identity fingerprint of an external (non-warehouse) input: path plus
+    the (name, size, mtime) of every data file under it. Folded into stage
+    lineage so rerunning the same warehouse against a different --clips path
+    (or a rewritten one) invalidates downstream stages instead of silently
+    resuming stale outputs."""
+    entries = []
+    if os.path.isdir(path):
+        for root, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                entries.append((os.path.relpath(fp, path), st.st_size, int(st.st_mtime)))
+    elif os.path.exists(path):
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, int(st.st_mtime)))
+    return _fingerprint({"path": os.path.abspath(path), "files": entries})
+
+
 def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

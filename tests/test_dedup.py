@@ -170,6 +170,29 @@ def test_hot_bucket_salting_preserves_pairs(spark, corpus):
     assert p == s
 
 
+def test_empty_transcripts_carry_no_text_evidence(spark, corpus, cfg):
+    """Clips with missing transcripts must NOT collide in MinHash buckets or
+    pass text verification: the empty-shingle sentinel signature would
+    otherwise put every transcript-less clip in one bucket with
+    jaccard_estimate == 1.0 (round-1 ADVICE finding)."""
+    df, _ = clips_to_spark(spark, corpus)
+    blank = df.withColumn("transcript", F.lit(""))
+    res = dedup_pipeline(spark, blank, cfg)
+    assert res.pairs.filter(F.col("from_minhash") == 1).count() == 0
+    assert res.verified.filter(F.col("text_ok")).count() == 0
+
+
+def test_warehouse_invalidates_on_new_input(spark, corpus, cfg, tmp_path):
+    """Same warehouse, different input identity -> stages must NOT resume."""
+    df, _ = clips_to_spark(spark, corpus)
+    root = str(tmp_path / "wh_inp")
+    wh1 = Warehouse(spark, root)
+    dedup_pipeline(spark, df, cfg, warehouse=wh1, input_id="corpus-v1")
+    wh2 = Warehouse(spark, root)
+    dedup_pipeline(spark, df, cfg, warehouse=wh2, input_id="corpus-v2")
+    assert all(not v["resumed"] for v in wh2.metrics().values()), wh2.metrics()
+
+
 def test_warehouse_checkpoint_resume(spark, corpus, cfg, tmp_path):
     df, _ = clips_to_spark(spark, corpus)
     wh1 = Warehouse(spark, str(tmp_path / "wh"))
