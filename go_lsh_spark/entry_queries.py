@@ -707,10 +707,40 @@ def q_audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sigs.select("clip_id", "sig64").orderBy("clip_id")
 
 
+SIMHASH_BITS = 60  # md5-int64 is 60 bits -> the signature fits a BIGINT
+
+
 def q_token_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted token SimHash as pure built-in expressions (explode +
+    conditional bit-vote sums), md5-int64 token hash family shared with the
+    DuckDB oracle."""
     docs = _read(spark, sf_dir, "documents")
-    udf = T.make_token_simhash_udf()
-    return docs.select("doc_id", udf(F.col("text")).alias("simhash")).orderBy("doc_id")
+    return T.token_simhash_frame(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def sql_token_simhash() -> str:
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents WHERE length(trim(text)) > 0)
+    ), votes AS (
+      SELECT doc_id,
+        {votes}
+      FROM toks GROUP BY doc_id
+    ), sigs AS (
+      SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM votes
+    )
+    SELECT d.doc_id, s.simhash FROM documents d LEFT JOIN sigs s USING (doc_id)
+    """
 
 
 def q_search_topk_reference_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,14 +767,122 @@ def q_search_topk_reference_fixture(spark: SparkSession, sf_dir: str) -> DataFra
     return res.scores.select("query_id", "uid", "index", F.round("score", 6).alias("score"), "rank")
 
 
+def sql_search_topk_fixture() -> str:
+    """Literal golden from the reference's TestLSHSearch fixture
+    (/root/reference/lsh/lsh_test.go:29-50): query [0,0,0.1] POS top-3 over
+    the 5-doc corpus returns uids 0,1,2; scores are the exact Pearson values
+    the numpy oracle (go_lsh_spark.oracle) computes for the same fixture."""
+    return """
+    SELECT * FROM (VALUES
+      (CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(1.0      AS DOUBLE), 1),
+      (CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0.999569 AS DOUBLE), 2),
+      (CAST(0 AS BIGINT), CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0.999015 AS DOUBLE), 3)
+    ) AS t(query_id, uid, "index", score, rank)
+    """
+
+
+def q_search_num_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NumScored -- the pre-threshold candidate count Search returns
+    alongside scores (lsh/lsh.go:128, the `candidates` side of
+    SearchResult) -- for the TestLSHSearch fixture."""
+    from go_lsh_spark.engine import SparkLSH
+    from go_lsh_spark.config import SIGN_FILTER_POS, SearchOptions
+
+    docs = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0, 5.0]),
+            (1, 0, [0.0, 0.1, 3.0]),
+            (2, 0, [0.0, 0.1, 2.0]),
+            (3, 0, [0.0, 0.1, 1.0]),
+            (4, 0, [0.0, -0.1, -4.0]),
+        ],
+        "uid long, index long, vector array<double>",
+    )
+    eng = SparkLSH(spark, LSHConfig()).index(docs)
+    q = spark.createDataFrame(
+        [(0, 0, [0.0, 0.0, 0.1])], "query_id long, index long, vector array<double>"
+    )
+    res = eng.search_df(q, SearchOptions(num_to_return=3, sign_filter=SIGN_FILTER_POS))
+    return res.candidates.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("num_scored")
+    )
+
+
+def sql_search_num_scored() -> str:
+    """Golden NumScored for the fixture: the oracle enumerates 4 scored
+    candidates (uid 4 never collides with the positive-branch buckets under
+    the seeded planes)."""
+    return """
+    SELECT * FROM (VALUES (CAST(0 AS BIGINT), CAST(4 AS BIGINT)))
+      AS t(query_id, num_scored)
+    """
+
+
 def q_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint set per document (Schleimer et al. 2003),
+    md5-int64 shingle-hash family shared with the DuckDB oracle."""
     docs = _read(spark, sf_dir, "documents")
     # two-step: materialize shingle hashes first so each window slices a
     # ready array instead of re-hashing the document per window
-    hashed = docs.select("doc_id", T.shingle_hashes("text", k=8).alias("_h"))
-    return hashed.select(
-        "doc_id", F.posexplode(T.winnowing_from_hashes("_h", window=4)).alias("pos", "fp")
+    hashed = docs.select(
+        "doc_id", T.shingle_hashes("text", k=8, hash_fn="md5").alias("_h")
     )
+    return hashed.select(
+        "doc_id", F.explode(T.winnowing_from_hashes("_h", window=4)).alias("fp")
+    )
+
+
+def sql_winnowing() -> str:
+    return """
+    WITH h AS (
+      SELECT doc_id,
+        list_transform(range(1, GREATEST(length(text) - 8 + 1, 0) + 1),
+          i -> CAST(('0x' || substring(md5(substring(text, i::int, 8)), 1, 15)) AS BIGINT)) AS hs
+      FROM documents
+    ), w AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= 4
+             THEN list_distinct(list_transform(range(1, len(hs) - 4 + 2),
+                    i -> list_min(list_slice(hs, i::int, (i + 3)::int))))
+             ELSE [] END AS fps
+      FROM h
+    )
+    SELECT doc_id, unnest(fps) AS fp FROM w
+    """
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the LSH-bucketed ANN against the brute-force top-K --
+    the loop-closer the reference's Stats curve predicts
+    (/root/reference/lsh/lsh.go:277-282)."""
+    brute = q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = brute.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(TOPK)), 6
+        ).alias("recall"),
+    )
+
+
+def sql_ann_recall() -> str:
+    return f"""
+    WITH brute AS ({sql_topk_cosine()}),
+    ann AS ({sql_ann_lsh()}),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n_hit
+      FROM brute b JOIN ann a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id, ROUND(COALESCE(h.n_hit, 0) / {float(TOPK)}, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
 
 
 QUERIES = {
@@ -766,10 +904,15 @@ QUERIES = {
     "minhash_signatures": (q_minhash_sigs, sql_minhash_sigs),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_norm_stats": (q_embedding_norm_stats, sql_embedding_norm_stats),
-    # rows-only (UDF/audio paths DuckDB cannot express)
+    "token_simhash": (q_token_simhash, sql_token_simhash),
+    "winnowing_fingerprints": (q_winnowing, sql_winnowing),
+    "ann_recall": (q_ann_recall, sql_ann_recall),
+    # VALUES goldens from the reference's TestLSHSearch fixture
+    # (hashing is UDF-side; expected rows proven by the numpy oracle and
+    # tests/test_spark_search.py golden assertions)
+    "search_topk_fixture": (q_search_topk_reference_fixture, sql_search_topk_fixture),
+    "search_num_scored": (q_search_num_scored, sql_search_num_scored),
+    # rows-only (audio decode paths DuckDB cannot express)
     "audio_dedup_clusters": (q_audio_dedup_clusters, None),
     "audio_signatures": (q_audio_signatures, None),
-    "token_simhash": (q_token_simhash, None),
-    "search_topk_fixture": (q_search_topk_reference_fixture, None),
-    "winnowing_fingerprints": (q_winnowing, None),
 }

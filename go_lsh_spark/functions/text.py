@@ -194,12 +194,14 @@ def doc_fingerprint(text: Column | str, k: int = 8) -> Column:
     return F.array_min(F.transform(sh, lambda s: md5_int64(s)))
 
 
-def shingle_hashes(text: Column | str, k: int = 8) -> Column:
-    """Rolling k-gram xxhash64 array (materialize this as its own column
+def shingle_hashes(text: Column | str, k: int = 8, hash_fn: str = "xxhash64") -> Column:
+    """Rolling k-gram hash array (materialize this as its own column
     before windowed ops -- Catalyst does not CSE across lambda boundaries,
     so inlining it into every window's slice re-hashes the whole string per
-    window)."""
-    return F.transform(char_shingles(text, k), lambda s: F.xxhash64(s))
+    window). hash_fn='md5' is the DuckDB-reproducible family; 'xxhash64'
+    the fast JVM-internal one."""
+    h = md5_int64 if hash_fn == "md5" else F.xxhash64
+    return F.transform(char_shingles(text, k), lambda s: h(s))
 
 
 def winnowing_from_hashes(hashes: Column | str, window: int = 4) -> Column:
@@ -222,37 +224,82 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
 
 
 # ---------------------------------------------------------------------------
-# token-SimHash (pandas UDF -- bit-vote aggregation doesn't vectorize well
-# as an expression tree)
+# token-SimHash
 # ---------------------------------------------------------------------------
 
 
+def token_simhash_frame(
+    df, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
+):
+    """(id, text) frame -> (id, simhash): weighted SimHash over whitespace
+    tokens, entirely as built-in expressions (explode + 60 conditional sums
+    + bit reassembly -- whole-stage codegen, no Python). Bit j of the
+    signature is set iff the sum over token occurrences of
+    (+1 if bit j of md5_int64(token) else -1) is positive.
+
+    bits=60 and the md5-int64 token hash make this DuckDB-reproducible
+    (same CASE/SUM construction in ANSI SQL); docs with no tokens get NULL.
+    The explode shuffles on nothing (narrow), and the groupBy is map-side
+    combined on id -- at 100TB this is one shuffle keyed by doc id.
+    """
+    toks = df.select(id_col, F.explode(whitespace_tokens(text_col)).alias("_tok"))
+    h = md5_int64("_tok")
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{j}")
+        for j in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    sigs = agg.select(id_col, sig.cast("long").alias("simhash"))
+    return df.select(id_col).join(sigs, id_col, "left")
+
+
 def make_token_simhash_udf(bits: int = 64):
-    """text -> SimHash over whitespace tokens: bit j of the signature is the
-    sign of the sum over tokens of (+1 if bit j of xxhash64-style token hash
-    else -1). Deterministic blake2b-based token hash (stable across runs,
-    unlike Python's salted hash())."""
+    """text -> SimHash over whitespace tokens (Arrow-batched, vectorized):
+    hash the batch's UNIQUE tokens once (blake2b, stable across runs unlike
+    Python's salted hash()), expand to a (tokens x bits) +/-1 matrix, and
+    segment-sum votes per row -- no per-token Python loop in the hot path
+    (r1 reviewed the row-at-a-time version as the repo's one per-row UDF).
+
+    For the SQL-cross-checkable query surface use token_simhash_frame
+    (md5-int64 family) instead; this is the engine-internal fast path.
+    """
     import hashlib
 
-    def tok_hash(tok: str) -> int:
-        return int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+    shifts = np.arange(bits - 1, -1, -1, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
 
     @F.pandas_udf(LongType())
     def token_simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        weights = np.arange(bits - 1, -1, -1, dtype=np.uint64)
         for s in it:
-            out = np.zeros(len(s), dtype=np.int64)
-            for row_i, text in enumerate(s):
-                votes = np.zeros(bits, dtype=np.int64)
-                for tok in (text or "").split():
-                    h = tok_hash(tok)
-                    bits_arr = (h >> weights) & 1
-                    votes += np.where(bits_arr == 1, 1, -1)
-                sig = np.uint64(0)
-                for j in range(bits):
-                    if votes[j] > 0:
-                        sig |= np.uint64(1) << np.uint64(bits - 1 - j)
-                out[row_i] = np.int64(sig)
-            yield pd.Series(out)
+            tok_lists = [(t or "").split() for t in s]
+            counts = np.fromiter(
+                (len(tl) for tl in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            flat = [tok for tl in tok_lists for tok in tl]
+            votes = np.zeros((len(s), bits), dtype=np.int64)
+            if flat:
+                uniq, inv = np.unique(np.array(flat, dtype=object), return_inverse=True)
+                uh = np.fromiter(
+                    (
+                        int.from_bytes(
+                            hashlib.blake2b(u.encode(), digest_size=8).digest(), "big"
+                        )
+                        for u in uniq
+                    ),
+                    dtype=np.uint64,
+                    count=len(uniq),
+                )
+                hashes = uh[inv]
+                pm = ((hashes[:, None] >> shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+                seg = np.repeat(np.arange(len(s)), counts)
+                np.add.at(votes, seg, pm)
+            sig = ((votes > 0).astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+            yield pd.Series(sig)
 
     return token_simhash

@@ -33,6 +33,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 STAGE_SIDECAR = "_stage.json"
 
@@ -168,6 +169,53 @@ class Warehouse:
             committed_at=meta["committed_at"],
         )
         return out
+
+    def delete_uids(self, name: str, uids: Sequence, uid_col: str = "uid") -> int:
+        """O6 against a PERSISTED stage: rewrite `<root>/<name>` without the
+        given uids (with fmt='iceberg' this would be a metadata-only
+        `DELETE FROM` row delete; the parquet layout rewrites files).
+
+        Returns rows removed. Raises DocumentNotStored if any requested uid
+        is absent -- the reference's per-uid error (lsh/lsh.go:93-102,
+        tables/tables.go:157-181) -- AFTER removing the ones that exist,
+        matching the reference's delete-then-report behavior.
+        """
+        from go_lsh_spark.oracle import DocumentNotStored  # noqa: PLC0415
+
+        df = self.read(name)
+        uid_type = df.schema[uid_col].dataType.simpleString()
+        deleted = self.spark.createDataFrame(
+            [(u,) for u in uids], f"{uid_col} {uid_type}"
+        )
+        present = {
+            r[uid_col]
+            for r in deleted.join(df, uid_col, "left_semi").distinct().collect()
+        }
+        remaining = df.join(F.broadcast(deleted), uid_col, "left_anti")
+        path = self.path(name)
+        tmp = path + "__rewrite"
+        remaining.write.format(self.fmt).mode("overwrite").save(tmp)
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        out = self.read(name)
+        rows = out.count()
+        sc = self._sidecar(name)
+        if os.path.exists(sc):
+            with open(sc) as f:
+                meta = json.load(f)
+            removed = meta.get("rows", rows) - rows
+            meta["rows"] = rows
+            meta.setdefault("deletes", []).append(
+                {"uids": len(list(uids)), "removed_rows": removed, "at": time.time()}
+            )
+            with open(sc, "w") as f:
+                json.dump(meta, f, indent=2)
+        if name in self.stages:
+            self.stages[name].rows = rows
+        missing = [u for u in uids if u not in present]
+        if missing:
+            raise DocumentNotStored(f"uids not stored: {missing}")
+        return rows
 
     def metrics(self) -> dict:
         return {

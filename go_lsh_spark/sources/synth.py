@@ -251,29 +251,33 @@ def synth_clips_distributed(
     def render(batches):
         for pdf in batches:
             out = []
-            for _, r in pdf.iterrows():
-                erng = np.random.default_rng(int(r["env_seed"]))
-                fam_env = family_envelope(r["family"])
+            for cid, fam, env_seed, sr, dur, carrier, member, gain, noise_seed, tr in zip(
+                pdf["clip_id"], pdf["family"], pdf["env_seed"], pdf["sr_hz"],
+                pdf["dur_ms"], pdf["carrier"], pdf["member"], pdf["gain"],
+                pdf["noise_seed"], pdf["transcript"],
+            ):
+                erng = np.random.default_rng(int(env_seed))
+                fam_env = family_envelope(fam)
                 lo, hi = fam_env.min(), fam_env.max()
                 fam01 = (fam_env - lo) / (hi - lo) if hi > lo else np.ones_like(fam_env)
                 env = 0.25 * fam01 + 0.75 * erng.uniform(0.0, 1.0, size=len(fam_env))
-                base = _render_pcm(env, int(r["sr_hz"]), int(r["dur_ms"]), float(r["carrier"]), erng)
-                if int(r["member"]) > 0:
-                    nrng = np.random.default_rng(int(r["noise_seed"]))
+                base = _render_pcm(env, int(sr), int(dur), float(carrier), erng)
+                if int(member) > 0:
+                    nrng = np.random.default_rng(int(noise_seed))
                     pcm = np.clip(
-                        base * float(r["gain"]) + nrng.normal(scale=0.003, size=len(base)),
+                        base * float(gain) + nrng.normal(scale=0.003, size=len(base)),
                         -1.0, 1.0,
                     )
                 else:
                     pcm = base
                 out.append(
                     {
-                        "clip_id": r["clip_id"],
-                        "bytes": encode_wav(pcm, int(r["sr_hz"])),
-                        "sr_hz": int(r["sr_hz"]),
-                        "dur_ms": int(r["dur_ms"]),
+                        "clip_id": cid,
+                        "bytes": encode_wav(pcm, int(sr)),
+                        "sr_hz": int(sr),
+                        "dur_ms": int(dur),
                         "codec": CODEC_WAV,
-                        "transcript": r["transcript"],
+                        "transcript": tr,
                     }
                 )
             yield pd.DataFrame(out)

@@ -1,0 +1,90 @@
+"""Persisted delete path (O6 against Warehouse tables) and the ANN recall
+loop-closer against the reference's Stats formula."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from go_lsh_spark.config import SIGN_FILTER_POS, LSHConfig, SearchOptions
+from go_lsh_spark.engine import SparkLSH
+from go_lsh_spark.oracle import DocumentNotStored
+from go_lsh_spark.sources.catalog import Warehouse
+
+DOC_SCHEMA = "uid long, index long, vector array<double>"
+BASIC_DOCS = [
+    (0, 0, [0.0, 0.0, 5.0]),
+    (1, 0, [0.0, 0.1, 3.0]),
+    (2, 0, [0.0, 0.1, 2.0]),
+    (3, 0, [0.0, 0.1, 1.0]),
+    (4, 0, [0.0, -0.1, -4.0]),
+]
+
+
+def _persisted_engine(spark, tmp_path):
+    """Index the reference fixture, persist buckets+forward through the
+    Warehouse, and return an engine reading the persisted tables."""
+    eng = SparkLSH(spark, LSHConfig()).index(
+        spark.createDataFrame(BASIC_DOCS, DOC_SCHEMA), cache=False
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh_del"))
+    wh.run("buckets", lambda: eng.buckets)
+    wh.run("forward", lambda: eng.forward)
+    eng2 = SparkLSH(spark, LSHConfig())
+    eng2.buckets = wh.read("buckets")
+    eng2.forward = wh.read("forward")
+    return eng2, wh
+
+
+def test_warehouse_delete_then_search_matches_reference_golden(spark, tmp_path):
+    """lsh_test.go:55-66: after deleting uid 2, POS top-3 returns [0,1,3].
+    Here the delete rewrites the PERSISTED tables, not an in-memory frame."""
+    eng, wh = _persisted_engine(spark, tmp_path)
+    so = SearchOptions(num_to_return=3, sign_filter=SIGN_FILTER_POS)
+    scores, _ = eng.search([0, 0, 0.1], 0, so)
+    assert [u for u, _, _ in scores] == [0, 1, 2]
+
+    wh.delete_uids("buckets", [2])
+    wh.delete_uids("forward", [2])
+    eng.buckets = wh.read("buckets")
+    eng.forward = wh.read("forward")
+    scores, _ = eng.search([0, 0, 0.1], 0, so)
+    assert [u for u, _, _ in scores] == [0, 1, 3]
+    assert eng.forward.filter(F.col("uid") == 2).count() == 0
+
+
+def test_warehouse_delete_unknown_uid_raises(spark, tmp_path):
+    eng, wh = _persisted_engine(spark, tmp_path)
+    with pytest.raises(DocumentNotStored):
+        wh.delete_uids("buckets", [999])
+    # reference semantics: existing uids in the same call ARE removed
+    with pytest.raises(DocumentNotStored):
+        wh.delete_uids("forward", [3, 999])
+    assert wh.read("forward").filter(F.col("uid") == 3).count() == 0
+
+
+def test_ann_recall_meets_stats_prediction(spark):
+    """Measured recall@K of the LSH-bucketed ANN must beat the reference
+    Stats formula's prediction (lsh/lsh.go:277-282: p_diff = 2/pi*acos(s),
+    P(found) = 1 - (1 - (1-p_diff)^H)^T) averaged over the true top-K
+    similarities."""
+    from go_lsh_spark.entry_queries import (
+        N_HYPER,
+        N_TABLES,
+        q_ann_recall,
+        q_topk_cosine,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    rec = q_ann_recall(spark, sf_dir).collect()
+    measured = float(np.mean([r["recall"] for r in rec]))
+
+    sims = [r["cos_sim"] for r in q_topk_cosine(spark, sf_dir).collect()]
+
+    def predicted(theta: float) -> float:
+        p_same = max(1.0 - 2.0 / math.pi * math.acos(max(min(theta, 1.0), -1.0)), 0.0)
+        return 1.0 - (1.0 - p_same**N_HYPER) ** N_TABLES
+
+    expect = float(np.mean([predicted(s) for s in sims]))
+    assert measured >= expect, (measured, expect)

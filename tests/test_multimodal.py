@@ -71,3 +71,53 @@ def test_video_frame_features_spark(spark):
     assert len(rows_out) == 12  # 3 videos x 4 sampled frames
     assert {r.frame_index for r in rows_out} == {0, 2, 4, 6}
     assert all(len(r.features) == 16 for r in rows_out)
+
+
+# -- PNG (real stdlib-zlib codec) --------------------------------------------
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_gray_all_filters(filter_type):
+    from go_lsh_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7 + filter_type)
+    img = rng.integers(0, 256, size=(13, 17), dtype=np.uint8)
+    got = decode_png(encode_png(img, filter_type=filter_type))
+    np.testing.assert_array_equal(got, img)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_rgb_all_filters(filter_type):
+    from go_lsh_spark.functions.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(70 + filter_type)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    got = decode_png(encode_png(img, filter_type=filter_type))
+    np.testing.assert_array_equal(got, img)
+
+
+def test_png_decode_image_and_feature_frame(spark):
+    from go_lsh_spark.functions.multimodal import PNG, encode_png, to_gray
+
+    rng = np.random.default_rng(99)
+    rows = []
+    imgs = {}
+    for i in range(6):
+        img = rng.integers(0, 256, size=(12, 16, 3), dtype=np.uint8)
+        imgs[f"png{i}"] = img
+        rows.append((f"png{i}", encode_png(img), 16, 12, PNG))
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    feats = {r["image_id"]: r["features"] for r in image_feature_frame(df).collect()}
+    assert len(feats) == 6
+    for iid, img in imgs.items():
+        expected = image_features(to_gray(img), grid=4)
+        np.testing.assert_allclose(feats[iid], expected, rtol=1e-12)
+
+
+def test_png_unsupported_flavors_are_explicit():
+    from go_lsh_spark.functions.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")

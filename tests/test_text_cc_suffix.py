@@ -203,3 +203,35 @@ def test_lcs_known():
     assert longest_common_substring("hello world", "world peace") == 5
     assert longest_common_substring("abc", "xyz") == 0
     assert longest_common_substring("", "abc") == 0
+
+
+def test_token_simhash_vectorized_matches_per_row_reference(spark):
+    """The batched unique-token kernel must equal the straightforward
+    per-row/per-token definition (the pre-vectorization semantics)."""
+    import hashlib
+
+    import numpy as np
+
+    texts = [
+        "the quick brown fox", "", "a a a b", "one",
+        "repeat repeat repeat repeat mix", "x y z " * 30,
+    ]
+
+    def slow(text, bits=64):
+        votes = np.zeros(bits, dtype=np.int64)
+        for tok in text.split():
+            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            for j in range(bits):
+                votes[j] += 1 if (h >> (bits - 1 - j)) & 1 else -1
+        sig = 0
+        for j in range(bits):
+            if votes[j] > 0:
+                sig |= 1 << (bits - 1 - j)
+        return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    from pyspark.sql import functions as F
+
+    udf = T.make_token_simhash_udf()
+    got = [r.s for r in df.select(udf(F.col("t")).alias("s")).collect()]
+    assert got == [slow(t) for t in texts]
