@@ -743,6 +743,80 @@ def sql_token_simhash() -> str:
     """
 
 
+SIMHASH_NEARDUP_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_NEARDUP_BANDS  # 15
+SIMHASH_MAX_HAMMING = 6
+
+
+def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate document pairs: band the 60-bit token SimHash
+    into 4x15-bit bucket keys, self-join per band (the LSH candidate step),
+    verify with full-signature Hamming distance <= 6. The document-level
+    analogue of the audio pipeline's banded sig64 join
+    (operators/dedup.py)."""
+    sigs = T.token_simhash_frame(
+        _read(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS
+    ).filter(F.col("simhash").isNotNull())
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(
+                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                    )
+                    for b in range(SIMHASH_NEARDUP_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            [
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_key") == F.col("b.band_key"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+    return pairs
+
+
+def sql_simhash_neardup_pairs() -> str:
+    band_exprs = ", ".join(
+        f"(simhash >> {b * SIMHASH_BAND_BITS}) & {(1 << SIMHASH_BAND_BITS) - 1} AS k{b}"
+        for b in range(SIMHASH_NEARDUP_BANDS)
+    )
+    unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, k{b} AS band_key FROM sigbands"
+        for b in range(SIMHASH_NEARDUP_BANDS)
+    )
+    return f"""
+    WITH sigs AS ({sql_token_simhash()}),
+    sigbands AS (
+      SELECT doc_id, simhash, {band_exprs} FROM sigs WHERE simhash IS NOT NULL
+    ),
+    bands AS ({unpivot})
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
 def q_search_topk_reference_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's TestLSHSearch fixture through the Spark engine
     (rows-only: hashing is UDF-side)."""
@@ -905,6 +979,7 @@ QUERIES = {
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs),
     "embedding_norm_stats": (q_embedding_norm_stats, sql_embedding_norm_stats),
     "token_simhash": (q_token_simhash, sql_token_simhash),
+    "simhash_neardup_pairs": (q_simhash_neardup_pairs, sql_simhash_neardup_pairs),
     "winnowing_fingerprints": (q_winnowing, sql_winnowing),
     "ann_recall": (q_ann_recall, sql_ann_recall),
     # VALUES goldens from the reference's TestLSHSearch fixture

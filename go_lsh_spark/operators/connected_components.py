@@ -87,16 +87,17 @@ def connected_components(
     """edges(src, dst) -> assignments(node, component) where component is the
     minimum node id in each connected component. Nodes without edges are not
     emitted (union the full vertex set downstream)."""
-    cur = _canon(edges, src, dst).localCheckpoint()
+    # lazy localCheckpoint: the checkpoint materializes INSIDE the checksum
+    # action, so each round costs exactly one driver job (an eager
+    # checkpoint would run its own job first -- 2x the serial round
+    # latency, an r1 scaling-gate finding). Two star rounds per checkpoint
+    # + checksum for the same reason; a fixed point stays fixed across the
+    # doubled round, so convergence detection is unaffected.
+    cur = _canon(edges, src, dst).localCheckpoint(eager=False)
     prev_sig = _checksum(cur)
-    # two star rounds per checkpoint + checksum: halves the driver-side
-    # actions (each localCheckpoint and each checksum agg is a serial job
-    # whose fixed latency does not parallelize -- an r1 scaling-gate
-    # finding); a fixed point stays fixed across the doubled round, so
-    # convergence detection is unaffected.
     for _ in range((max_iterations + 1) // 2):
         cur = _small_star(_large_star(cur))
-        cur = _small_star(_large_star(cur)).localCheckpoint()
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=False)
         sig = _checksum(cur)
         if sig == prev_sig:
             break

@@ -200,16 +200,27 @@ def clips_to_signatures(clips: DataFrame, cfg: DedupConfig, planes: PlaneSet) ->
 
 
 def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Both bucket families in one narrow table:
-    (src, band, hash, clip_id) with src in {'simhash','minhash'}."""
+    """All bucket families in one narrow table:
+    (src, band, hash, clip_id, sig64) with src in {'simhash','minhash',
+    'winnow'}. sig64 rides along (8 bytes/row) so the verify stage's Hamming
+    pre-filter needs NO join back to signatures -- candidate pairs emerge
+    from the bucket self-join already carrying both signatures."""
+    cols = ["src", "band", "hash", "clip_id", "sig64"]
     audio = signatures.select(
         F.lit("simhash").alias("src"),
         F.posexplode(
             V.band_hashes("sig64", cfg.num_bands, cfg.rows_per_band)
         ).alias("band", "hash"),
         "clip_id",
-    )
-    text = signatures.select(
+        "sig64",
+    ).select(*cols)
+    # empty/short transcripts produce the all-int64.max sentinel MinHash
+    # signature (functions/fasthash.py:58); emitting their bands would
+    # collide every transcript-less clip in one bucket and falsely verify
+    # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
+    text = signatures.filter(
+        F.element_at("minhash", 1) != F.lit(_I64_MAX)
+    ).select(
         F.lit("minhash").alias("src"),
         F.posexplode(
             F.array(
@@ -220,44 +231,24 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
             )
         ).alias("band", "hash"),
         "clip_id",
-    )
-    # empty/short transcripts produce the all-int64.max sentinel MinHash
-    # signature (functions/fasthash.py:58); emitting their bands would
-    # collide every transcript-less clip in one bucket and falsely verify
-    # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
-    text = text.join(
-        signatures.filter(
-            F.element_at("minhash", 1) != F.lit(_I64_MAX)
-        ).select("clip_id"),
-        "clip_id",
-        "left_semi",
-    ).select("src", "band", "hash", "clip_id")
+        "sig64",
+    ).select(*cols)
     # winnowing fingerprints: the suffix-array path's candidate source --
     # a common substring of >= winnow_k + winnow_window - 1 chars guarantees
-    # a shared fingerprint (Schleimer et al. 2003). Fingerprints present in
-    # more than winnow_max_df docs are stop-grams and dropped (they would
-    # otherwise form quadratic hot buckets of unrelated docs).
+    # a shared fingerprint (Schleimer et al. 2003). The per-clip fingerprint
+    # array is already distinct (np.unique in winnow_from_hashes), so the
+    # explode emits unique (hash, clip_id) with no dedup shuffle. The
+    # stop-gram document-frequency cap (winnow_max_df) is NOT applied here:
+    # candidate_pairs already sizes every bucket, and for winnow buckets
+    # size == df, so the cap folds into that one groupBy for free instead
+    # of costing its own groupBy + semi-join pass over the fingerprints.
     winnow = signatures.select(
         F.lit("winnow").alias("src"),
         F.lit(0).alias("band"),
         F.explode("winnow").alias("hash"),
         "clip_id",
-    ).dropDuplicates(["hash", "clip_id"])
-    # document-frequency cap: groupBy + left-semi join, NOT a window count --
-    # a window partition must fit one task, so the very stop-gram this cap
-    # defends against would funnel its whole membership through a single
-    # task at 10^12 rows; the groupBy is map-side-combined and the join is
-    # an AQE-splittable shuffle (the count table is O(distinct fingerprints),
-    # never built driver-side)
-    rare = (
-        winnow.groupBy("hash")
-        .agg(F.count(F.lit(1)).alias("_df"))
-        .filter(F.col("_df") <= cfg.winnow_max_df)
-        .select("hash")
-    )
-    winnow = winnow.join(rare, "hash", "left_semi").select(
-        "src", "band", "hash", "clip_id"
-    )
+        "sig64",
+    ).select(*cols)
     return audio.unionByName(text).unionByName(winnow)
 
 
@@ -276,11 +267,35 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         buckets.groupBy(*key)
         .agg(F.count(F.lit(1)).alias("_bsize"))
         .filter(F.col("_bsize") > 1)  # singleton buckets can't produce pairs
+        # stop-gram cap: a winnow fingerprint's bucket size IS its document
+        # frequency ((hash, clip_id) rows are unique), so fingerprints in
+        # more than winnow_max_df docs -- quadratic hot buckets of unrelated
+        # docs sharing a common phrase -- drop here, in the same size pass
+        # the skew split needs anyway
+        .filter(
+            (F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df)
+        )
     )
     sized = buckets.join(sizes, key)
     cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
     hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
 
+    pair_cols = [
+        F.col("a.src").alias("src"),
+        F.col("a.clip_id").alias("clip_id_a"),
+        F.col("b.clip_id").alias("clip_id_b"),
+        F.col("a.sig64").alias("sig64_a"),
+        F.col("b.sig64").alias("sig64_b"),
+    ]
+    # Hamming budget applied AT pair generation for simhash-sourced rows:
+    # a banded collision with a far-apart full signature can never pass
+    # verify's audio gate (which requires hamming <= max_hamming), so
+    # killing it here -- before the distinct-pair aggregation shuffle --
+    # changes nothing downstream and removes the dominant false-candidate
+    # stream. minhash/winnow rows pass through (their evidence is textual).
+    ham_ok = (F.col("a.src") != F.lit("simhash")) | (
+        V.hamming64(F.col("a.sig64"), F.col("b.sig64")) <= cfg.max_hamming
+    )
     pairs = (
         cold.alias("a")
         .join(
@@ -292,11 +307,8 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
                 F.col("a.clip_id") < F.col("b.clip_id"),
             ],
         )
-        .select(
-            F.col("a.src").alias("src"),
-            F.col("a.clip_id").alias("clip_id_a"),
-            F.col("b.clip_id").alias("clip_id_b"),
-        )
+        .filter(ham_ok)
+        .select(*pair_cols)
     )
 
     R = cfg.salt_factor
@@ -324,11 +336,7 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.col("a.salt_j") == F.col("b.salt"),
             F.col("a.clip_id") < F.col("b.clip_id"),
         ],
-    ).select(
-        F.col("a.src").alias("src"),
-        F.col("a.clip_id").alias("clip_id_a"),
-        F.col("b.clip_id").alias("clip_id_b"),
-    )
+    ).filter(ham_ok).select(*pair_cols)
 
     return (
         pairs.unionByName(hot_pairs)
@@ -337,6 +345,8 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
             F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias("from_simhash"),
             F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias("from_minhash"),
             F.sum(F.when(F.col("src") == "winnow", 1).otherwise(0)).alias("n_winnow"),
+            F.first("sig64_a").alias("sig64_a"),
+            F.first("sig64_b").alias("sig64_b"),
         )
         # one shared fingerprint is noise (common word pair); a genuine
         # >=min_common_substring-char overlap shares several. Pairs with no
@@ -367,21 +377,14 @@ def verify_pairs(
              only for pairs that failed the cheap gates -- verification-stage
              cost control)
     """
-    # phase 1 -- narrow join: only sig64 rides along; simhash-only pairs
-    # above the Hamming budget die here, BEFORE the wide join hauls
-    # features + minhash + transcripts for millions of false candidates
-    # (the "more hyperplanes decrease direct comparisons" knob of the
-    # reference, configs/lshconfigs.go:44, applied post-hoc)
-    slim_a = signatures.select(
-        F.col("clip_id").alias("clip_id_a"), F.col("sig64").alias("sig64_a")
-    )
-    slim_b = signatures.select(
-        F.col("clip_id").alias("clip_id_b"), F.col("sig64").alias("sig64_b")
-    )
+    # phase 1 -- NO join: sig64 rode along on the bucket rows, so the
+    # Hamming budget is a pure filter on the pair stream; simhash-only
+    # pairs above it die here, BEFORE the wide join hauls features +
+    # minhash + transcripts for millions of false candidates (the "more
+    # hyperplanes decrease direct comparisons" knob of the reference,
+    # configs/lshconfigs.go:44, applied post-hoc)
     with_ham = (
-        pairs.join(slim_a.hint("shuffle_hash"), "clip_id_a")
-        .join(slim_b.hint("shuffle_hash"), "clip_id_b")
-        .withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
+        pairs.withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
         .filter(
             (F.col("hamming") <= cfg.max_hamming)
             | (F.col("from_minhash") == 1)

@@ -208,3 +208,38 @@ def test_warehouse_checkpoint_resume(spark, corpus, cfg, tmp_path):
     m2 = wh2.metrics()
     assert all(v["resumed"] for v in m2.values()), m2
     assert r2.clusters.count() == n_clusters_1
+
+
+def test_winnow_stopgram_cap_in_size_pass(spark):
+    """A fingerprint shared by more than winnow_max_df clips must produce NO
+    winnow pairs (stop-gram), while rare fingerprints still pair -- the df
+    cap now folds into candidate_pairs' bucket-size pass."""
+    from go_lsh_spark.operators.dedup import candidate_pairs
+
+    cfg = DedupConfig(winnow_max_df=3, winnow_min_matches=1)
+    rows = []
+    # stop-gram: fingerprint 111 in 5 clips (> max_df 3)
+    for i in range(5):
+        rows.append(("winnow", 0, 111, f"c{i}", 0))
+    # rare: fingerprints 222, 223 shared by exactly 2 clips
+    for h in (222, 223):
+        rows.append(("winnow", 0, h, "r0", 0))
+        rows.append(("winnow", 0, h, "r1", 0))
+    buckets = spark.createDataFrame(
+        rows, "src string, band int, hash long, clip_id string, sig64 long"
+    )
+    pairs = candidate_pairs(buckets, cfg).collect()
+    got = {(r.clip_id_a, r.clip_id_b) for r in pairs}
+    assert got == {("r0", "r1")}
+
+
+def test_early_hamming_filter_equals_verify_semantics(spark, corpus, cfg):
+    """Pushing the Hamming budget into pair generation must not change the
+    verified output: every verified audio pair still satisfies the budget,
+    and pairs carried by text evidence survive regardless of hamming."""
+    df, _ = clips_to_spark(spark, corpus)
+    res = dedup_pipeline(spark, df, cfg)
+    bad = res.verified.filter(
+        F.col("audio_ok") & (F.col("hamming") > cfg.max_hamming)
+    ).count()
+    assert bad == 0
