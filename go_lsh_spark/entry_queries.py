@@ -925,6 +925,53 @@ def sql_winnowing() -> str:
     """
 
 
+# the synthetic embeddings are weakly clustered (top-k cosine tops out
+# ~0.49 at sf0.01); 0.35 keeps the verifier selective but non-degenerate
+COSINE_NEARDUP_THRESHOLD = 0.35
+
+
+def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH bucket collisions as the
+    candidate set (all-pairs form), exact cosine >= threshold as the
+    verifier -- the embedding-space member of the dedup family (exact /
+    MinHash / SimHash / n-gram Jaccard / cosine)."""
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    pairs = q_bucket_join_pairs(spark, sf_dir)
+    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
+    return (
+        pairs.join(ea, "vec_id_a")
+        .join(eb, "vec_id_b")
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            F.round(V.cosine("emb_a", "emb_b"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
+    )
+
+
+def sql_cosine_neardup_pairs() -> str:
+    return f"""
+    WITH buckets AS ({sql_simhash_buckets()}),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+      FROM buckets a JOIN buckets b
+        ON a.table_id = b.table_id AND a.hash = b.hash AND a.vec_id < b.vec_id
+    ),
+    embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
+    scored AS (
+      SELECT p.vec_id_a, p.vec_id_b,
+             ROUND(list_dot_product(a.embd, b.embd)
+               / (sqrt(list_dot_product(a.embd, a.embd)) * sqrt(list_dot_product(b.embd, b.embd))), 6)
+               AS cos_sim
+      FROM pairs p JOIN embd a ON p.vec_id_a = a.vec_id
+                   JOIN embd b ON p.vec_id_b = b.vec_id
+    )
+    SELECT * FROM scored WHERE cos_sim >= {COSINE_NEARDUP_THRESHOLD}
+    """
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH-bucketed ANN against the brute-force top-K --
     the loop-closer the reference's Stats curve predicts
@@ -982,6 +1029,7 @@ QUERIES = {
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, sql_simhash_neardup_pairs),
     "winnowing_fingerprints": (q_winnowing, sql_winnowing),
     "ann_recall": (q_ann_recall, sql_ann_recall),
+    "cosine_neardup_pairs": (q_cosine_neardup_pairs, sql_cosine_neardup_pairs),
     # VALUES goldens from the reference's TestLSHSearch fixture
     # (hashing is UDF-side; expected rows proven by the numpy oracle and
     # tests/test_spark_search.py golden assertions)
