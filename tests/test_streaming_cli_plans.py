@@ -81,3 +81,18 @@ def test_bucket_scan_prunes_with_literal_row_filter(spark, tmp_path):
     assert "PartitionFilters" in plan
     # the two retained partitions only
     assert pruned.select("row_index").distinct().count() == 2
+
+
+def test_candidate_pairs_plan_has_no_window(spark):
+    """Bucket sizing must be a map-side-combined aggregate + join, never a
+    window function: a window partition must fit one task, so a degenerate
+    hot bucket would serialize before the salting could split it."""
+    from go_lsh_spark.operators.dedup import candidate_pairs
+
+    buckets = spark.createDataFrame(
+        [("simhash", 0, i % 3, f"c{i}", i) for i in range(12)],
+        "src string, band int, hash long, clip_id string, sig64 long",
+    )
+    plan = explain_str(candidate_pairs(buckets, DedupConfig()), "extended")
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "Aggregate" in plan
