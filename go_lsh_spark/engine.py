@@ -92,5 +92,33 @@ class SparkLSH:
             num_scored,
         )
 
+    def exists(self, uid: int) -> bool:
+        """forwardindex Exists (forwardindex/inmemory.go:25-28): membership
+        probe against the forward index -- a pushed-down point filter, not a
+        scan."""
+        return (
+            self.forward is not None
+            and self.forward.filter(F.col("uid") == int(uid)).limit(1).count() > 0
+        )
+
+    def size(self) -> int:
+        """forwardindex Size (forwardindex/inmemory.go:21-23): number of
+        indexed documents."""
+        if self.forward is None:
+            return 0
+        return self.forward.select("uid").distinct().count()
+
+    def uids(self) -> list[int]:
+        """Sorted indexed document ids (the forward index's key set; the
+        reference's Scores.UIDs projection, results/results.go:115-121, is
+        the `uid` column of SearchResult.scores). Driver-side
+        materialization -- test/inspection only at scale."""
+        if self.forward is None:
+            return []
+        return [
+            r["uid"]
+            for r in self.forward.select("uid").distinct().orderBy("uid").collect()
+        ]
+
     def stats(self) -> dict:
         return compute_stats_op(self.cfg, forward=self.forward)

@@ -151,3 +151,15 @@ def test_num_scored_counts_all_candidates(spark):
     )
     # every doc collides with the query in some table at these tiny vectors
     assert num_scored == 5
+
+
+def test_exists_size_uids(spark):
+    eng = make_engine(spark, BASIC_DOCS)
+    assert eng.size() == 5
+    assert eng.uids() == [0, 1, 2, 3, 4]
+    assert eng.exists(3)
+    assert not eng.exists(99)
+    eng.delete([2])
+    assert eng.size() == 4
+    assert eng.uids() == [0, 1, 3, 4]
+    assert not eng.exists(2)
