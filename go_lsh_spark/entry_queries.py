@@ -972,6 +972,122 @@ def sql_cosine_neardup_pairs() -> str:
     """
 
 
+IVF_K = 16       # coarse centroids (deterministic seeded sample)
+IVF_NPROBE = 4   # centroid lists probed per query
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str):
+    """(vectors, centroids, assignments): IVF coarse quantization with a
+    deterministic centroid sample (every (n/K)-th vec_id) -- the
+    inverted-file ANN structure (coarse quantize -> probe nprobe nearest
+    lists -> exact scoring inside them). The centroid table is tiny and
+    broadcasts; assignment is one broadcast join + min_by, no shuffle of
+    the big side beyond the groupBy on vec_id."""
+    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    n = emb.count()
+    step = max(n // IVF_K, 1)
+    cent = (
+        emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_K))
+        .select(
+            (F.col("vec_id") / step).cast("int").alias("cid"),
+            F.col("emb").alias("cemb"),
+        )
+    )
+    dist = V.dot("emb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")  # ||c||^2 - 2<v,c>
+    assigned = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cid", dist.alias("_d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
+            F.first("emb").alias("emb"),
+        )
+    )
+    return emb, cent, assigned
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-K: probe the IVF_NPROBE nearest centroid lists per query,
+    exact cosine inside them (the scale path alongside ann_lsh; brute
+    topk_cosine is the baseline)."""
+    _, cent, assigned = _ivf_assignments(spark, sf_dir)
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    qdist = V.dot("qemb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .select("query_id", "qemb", "cid", qdist.alias("_d"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
+            ),
+        )
+        .filter(F.col("_r") <= IVF_NPROBE)
+        .select("query_id", "qemb", "cid")
+    )
+    cands = probes.join(
+        assigned.select(F.col("vec_id").alias("neighbor_id"), "cid", F.col("emb").alias("cemb2")),
+        "cid",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cands.select(
+        "query_id",
+        "neighbor_id",
+        F.round(V.cosine("qemb", "cemb2"), 6).alias("cos_sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPK)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sql_ann_ivf() -> str:
+    return f"""
+    WITH embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
+    n AS (SELECT GREATEST(COUNT(*) // {IVF_K}, 1) AS step FROM embd),
+    cent AS (
+      SELECT CAST(vec_id // step AS INT) AS cid, embd AS cemb
+      FROM embd, n WHERE vec_id % step = 0 AND vec_id // step < {IVF_K}
+    ),
+    assigned AS (
+      SELECT vec_id, embd, cid FROM (
+        SELECT e.vec_id, e.embd, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.embd, c.cemb), c.cid
+               ) AS r
+        FROM embd e CROSS JOIN cent c
+      ) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qemb, cid FROM (
+        SELECT a.vec_id AS query_id, a.embd AS qemb, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(a.embd, c.cemb), c.cid
+               ) AS r
+        FROM assigned a CROSS JOIN cent c WHERE a.vec_id < {N_QUERIES}
+      ) WHERE r <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qemb, a.embd)
+               / (sqrt(list_dot_product(p.qemb, p.qemb)) * sqrt(list_dot_product(a.embd, a.embd))), 6)
+               AS cos_sim
+      FROM probes p JOIN assigned a ON p.cid = a.cid AND p.query_id != a.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {TOPK}
+    """
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH-bucketed ANN against the brute-force top-K --
     the loop-closer the reference's Stats curve predicts
@@ -1013,6 +1129,7 @@ QUERIES = {
     "threshold_filter": (q_threshold_filter, sql_threshold_filter),
     "topk_cosine": (q_topk_cosine, sql_topk_cosine),
     "ann_lsh": (q_ann_lsh, sql_ann_lsh),
+    "ann_ivf": (q_ann_ivf, sql_ann_ivf),
     "delete_antijoin": (q_delete_antijoin, sql_delete_antijoin),
     "sign_dual_buckets": (q_sign_dual_buckets, sql_sign_dual_buckets),
     "stats_curve": (q_stats_curve, sql_stats_curve),
