@@ -82,20 +82,34 @@ def main() -> None:
         "pearson_scores",
         "topk_cosine",
         "ann_lsh",
+        "ann_ivf",
+        "ann_recall",
         "minhash_signatures",
         "ngram_jaccard_pairs",
         "exact_dedup",
         "token_counts",
+        "token_simhash",
+        "simhash_neardup_pairs",
+        "cosine_neardup_pairs",
+        "winnowing_fingerprints",
         "row_index_pruning",
     ]
+    # best-of-2 per query: the first execution pays JVM/codegen warmup and
+    # any co-tenant noise spike; the min is the steady-state number (same
+    # min-time protocol as tools/scaling_bench.py)
     timings: dict[str, float] = {}
     for name in headline:
         fn = QUERIES[name][0]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     dedup_secs, _n_clusters = run_dedup(spark, N_CLIPS_BENCH)
+    dedup_secs2, _ = run_dedup(spark, N_CLIPS_BENCH)
+    dedup_secs = min(dedup_secs, dedup_secs2)
     timings["audio_dedup_e2e"] = round(dedup_secs, 3)
 
     total = round(sum(timings.values()), 3)
