@@ -96,3 +96,36 @@ def test_candidate_pairs_plan_has_no_window(spark):
     plan = explain_str(candidate_pairs(buckets, DedupConfig()), "extended")
     assert "Window" not in plan
     assert "HashAggregate" in plan or "Aggregate" in plan
+
+
+def test_streaming_incremental_dedup(spark, tmp_path):
+    """Microbatched near-dup detection must find the same cross-batch dup
+    pairs the batch pipeline finds: a dup group split across microbatches
+    is detected when its second member streams in."""
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.streaming.ingest import read_clip_stream, start_incremental_dedup
+
+    res = synth_clips(n_clips=24, seed=7)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    # several files -> several microbatches (maxFilesPerTrigger=1)
+    clips.repartition(6).write.parquet(src)
+
+    cfg = DedupConfig()
+    stream = read_clip_stream(spark, src, max_files=1)
+    q = start_incremental_dedup(stream, cfg, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(300)
+
+    got = {
+        tuple(sorted((r.clip_id_a, r.clip_id_b)))
+        for r in spark.read.parquet(str(tmp_path / "out" / "verified_pairs"))
+        .filter(F.col("audio_ok") | F.col("text_ok"))
+        .collect()
+    }
+    batch = dedup_pipeline(spark, clips, cfg)
+    expected = {
+        tuple(sorted((r.clip_id_a, r.clip_id_b)))
+        for r in batch.verified.filter(F.col("audio_ok") | F.col("text_ok")).collect()
+    }
+    assert expected, "degenerate fixture: batch pipeline found no dup pairs"
+    assert got.issuperset(expected), expected - got
