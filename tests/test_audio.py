@@ -96,3 +96,62 @@ def test_feature_udf_matches_numpy(spark):
     for row in rows:
         expected = envelope_features(decode_wav(local[row.clip_id])[0], 16)
         np.testing.assert_allclose(np.array(row.f), expected, rtol=1e-12)
+
+
+# -- G.711 mu-law / A-law --------------------------------------------------
+
+
+def test_g711_tables_match_classic_extremes():
+    from go_lsh_spark.functions.audio import _ALAW_TABLE, _MULAW_TABLE
+
+    # canonical G.711 maxima: mu-law 8031 (14-bit), A-law 4032 (13-bit),
+    # scaled to 16-bit by the decoder (x4 / x8)
+    assert int(np.abs(_MULAW_TABLE.astype(np.int32)).max()) == 8031 * 4
+    assert int(np.abs(_ALAW_TABLE.astype(np.int32)).max()) == 4032 * 8
+    # mu-law has an exact zero codeword; both tables hit both signs
+    assert (_MULAW_TABLE == 0).any()
+    assert _MULAW_TABLE.min() < 0 < _MULAW_TABLE.max()
+    assert _ALAW_TABLE.min() < 0 < _ALAW_TABLE.max()
+
+
+@pytest.mark.parametrize("law", ["mulaw", "alaw"])
+def test_g711_roundtrip_snr(law):
+    from go_lsh_spark.functions.audio import decode_wav, encode_wav_g711, snr_db
+
+    rng = np.random.default_rng(5)
+    t = np.arange(8000) / 8000.0
+    pcm = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.normal(size=t.size)
+    pcm = np.clip(pcm, -1, 1)
+    raw = encode_wav_g711(pcm, 8000, law=law)
+    decoded, sr = decode_wav(raw)
+    assert sr == 8000 and len(decoded) == len(pcm)
+    # G.711 speech-band SNR is well above the input_hint's 30dB invariant
+    assert snr_db(pcm, decoded) >= 30.0
+
+
+def test_g711_clip_through_pipeline_udf(spark):
+    """A mu-law clip flows through the fused decode+feature UDF next to
+    pcm_s16le clips (the codec column routes per row)."""
+    from go_lsh_spark.config import DedupConfig
+    from go_lsh_spark.functions.audio import (
+        CODEC_MULAW,
+        encode_wav_g711,
+        envelope_features,
+    )
+    from go_lsh_spark.hyperplanes import PlaneSet
+    from go_lsh_spark.operators.dedup import clips_to_signatures
+
+    cfg = DedupConfig()
+    rng = np.random.default_rng(9)
+    pcm = np.clip(rng.normal(scale=0.2, size=8000), -1, 1)
+    rows = [("mu0", encode_wav_g711(pcm, 8000, "mulaw"), 8000, 1000, CODEC_MULAW, "hello world " * 5)]
+    df = spark.createDataFrame(
+        rows,
+        "clip_id string, bytes binary, sr_hz int, dur_ms int, codec string, transcript string",
+    )
+    sigs = clips_to_signatures(df, cfg, PlaneSet(cfg.lsh_config())).collect()
+    assert len(sigs) == 1
+    from go_lsh_spark.functions.audio import decode_wav
+
+    expected = envelope_features(decode_wav(rows[0][1])[0], cfg.feature_dim)
+    np.testing.assert_allclose(sigs[0]["features"], expected, rtol=1e-12)
