@@ -710,6 +710,59 @@ def q_audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_BITS = 60  # md5-int64 is 60 bits -> the signature fits a BIGINT
 
 
+def sql_audio_signatures() -> str:
+    """Literal golden computed by the INDEPENDENT numpy reference path
+    (decode_wav -> envelope_features -> centered/normalized sign-hash against
+    the seeded PlaneSet -- the oracle-side semantics of
+    /root/reference/lsh/lsh.go:62-90 at this config), NOT by the Spark
+    engine. Regenerate with tools/gen_audio_golden.py if the seeded corpus
+    or feature kernel changes."""
+    return """
+    SELECT * FROM (VALUES
+      ('clip_000000', CAST(-2758458171607232030 AS BIGINT)),
+      ('clip_000001', CAST(-2758458171607232030 AS BIGINT)),
+      ('clip_000002', CAST(-2758458171607232030 AS BIGINT)),
+      ('clip_000003', CAST(-2758458171607232030 AS BIGINT)),
+      ('clip_000004', CAST(-2758458171607232030 AS BIGINT)),
+      ('clip_000005', CAST(5354517288265108512 AS BIGINT)),
+      ('clip_000006', CAST(5354517288265108512 AS BIGINT)),
+      ('clip_000007', CAST(5354517288265108512 AS BIGINT)),
+      ('clip_000008', CAST(-1773100950856755555 AS BIGINT)),
+      ('clip_000009', CAST(-1773100950856755555 AS BIGINT)),
+      ('clip_000010', CAST(-1773100950856755555 AS BIGINT)),
+      ('clip_000011', CAST(-1773100950856755555 AS BIGINT)),
+      ('clip_000012', CAST(-1773100950856755555 AS BIGINT)),
+      ('clip_000013', CAST(-6846471964012530028 AS BIGINT)),
+      ('clip_000014', CAST(-6846471964012530028 AS BIGINT)),
+      ('clip_000015', CAST(5645157545806490026 AS BIGINT)),
+      ('clip_000016', CAST(5645157545806490026 AS BIGINT)),
+      ('clip_000017', CAST(5645157545806490026 AS BIGINT)),
+      ('clip_000018', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000019', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000020', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000021', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000022', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000023', CAST(-1164654449037134396 AS BIGINT)),
+      ('clip_000024', CAST(6220405166340631115 AS BIGINT)),
+      ('clip_000025', CAST(6220405166340631115 AS BIGINT)),
+      ('clip_000026', CAST(-1178607861043314987 AS BIGINT)),
+      ('clip_000027', CAST(-1178607861043314987 AS BIGINT)),
+      ('clip_000028', CAST(-1178607861043314987 AS BIGINT)),
+      ('clip_000029', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000030', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000031', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000032', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000033', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000034', CAST(-742850194332092577 AS BIGINT)),
+      ('clip_000035', CAST(6727560116440771060 AS BIGINT)),
+      ('clip_000036', CAST(6727560116440771060 AS BIGINT)),
+      ('clip_000037', CAST(6727560116440771060 AS BIGINT)),
+      ('clip_000038', CAST(6727560116440771060 AS BIGINT)),
+      ('clip_000039', CAST(6727560116440771060 AS BIGINT))
+    ) AS t(clip_id, sig64)
+    """
+
+
 def q_token_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted token SimHash as pure built-in expressions (explode +
     conditional bit-vote sums), md5-int64 token hash family shared with the
@@ -1154,5 +1207,5 @@ QUERIES = {
     "search_num_scored": (q_search_num_scored, sql_search_num_scored),
     # rows-only (audio decode paths DuckDB cannot express)
     "audio_dedup_clusters": (q_audio_dedup_clusters, None),
-    "audio_signatures": (q_audio_signatures, None),
+    "audio_signatures": (q_audio_signatures, sql_audio_signatures),
 }
