@@ -688,10 +688,174 @@ def q_audio_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from go_lsh_spark.operators.dedup import dedup_pipeline
     from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
 
-    n = 60 if "0.001" in sf_dir else 150
+    # size-stable regardless of sf: the DuckDB oracle is a literal golden
+    # over the seeded 150-clip corpus (tools/gen_cluster_golden.py)
+    n = 150
     res = synth_clips(n_clips=n, seed=SEED)
     clips, _ = clips_to_spark(spark, res)
     return dedup_pipeline(spark, clips, DedupConfig()).clusters.orderBy("clip_id")
+
+
+def sql_audio_dedup_clusters() -> str:
+    """Literal golden computed by the INDEPENDENT python oracle
+    (tools/gen_cluster_golden.py): union-find over pairs admitted by direct
+    band-tuple comparison + Hamming/Pearson/Jaccard/DP-LCS verification --
+    none of the Spark pipeline's mechanisms (star CC, banded joins, suffix
+    arrays) are reused, so this cross-check verifies rather than replays."""
+    return """
+    SELECT * FROM (VALUES
+      ('clip_000000', 'clip_000000'),
+      ('clip_000001', 'clip_000000'),
+      ('clip_000002', 'clip_000000'),
+      ('clip_000003', 'clip_000000'),
+      ('clip_000004', 'clip_000000'),
+      ('clip_000005', 'clip_000000'),
+      ('clip_000006', 'clip_000000'),
+      ('clip_000007', 'clip_000000'),
+      ('clip_000008', 'clip_000008'),
+      ('clip_000009', 'clip_000008'),
+      ('clip_000010', 'clip_000008'),
+      ('clip_000011', 'clip_000008'),
+      ('clip_000012', 'clip_000008'),
+      ('clip_000013', 'clip_000008'),
+      ('clip_000014', 'clip_000008'),
+      ('clip_000015', 'clip_000015'),
+      ('clip_000016', 'clip_000015'),
+      ('clip_000017', 'clip_000015'),
+      ('clip_000018', 'clip_000015'),
+      ('clip_000019', 'clip_000015'),
+      ('clip_000020', 'clip_000015'),
+      ('clip_000021', 'clip_000015'),
+      ('clip_000022', 'clip_000015'),
+      ('clip_000023', 'clip_000015'),
+      ('clip_000024', 'clip_000024'),
+      ('clip_000025', 'clip_000024'),
+      ('clip_000026', 'clip_000024'),
+      ('clip_000027', 'clip_000024'),
+      ('clip_000028', 'clip_000024'),
+      ('clip_000029', 'clip_000029'),
+      ('clip_000030', 'clip_000029'),
+      ('clip_000031', 'clip_000029'),
+      ('clip_000032', 'clip_000029'),
+      ('clip_000033', 'clip_000029'),
+      ('clip_000034', 'clip_000029'),
+      ('clip_000035', 'clip_000035'),
+      ('clip_000036', 'clip_000035'),
+      ('clip_000037', 'clip_000035'),
+      ('clip_000038', 'clip_000035'),
+      ('clip_000039', 'clip_000035'),
+      ('clip_000040', 'clip_000035'),
+      ('clip_000041', 'clip_000035'),
+      ('clip_000042', 'clip_000042'),
+      ('clip_000043', 'clip_000042'),
+      ('clip_000044', 'clip_000042'),
+      ('clip_000045', 'clip_000042'),
+      ('clip_000046', 'clip_000046'),
+      ('clip_000047', 'clip_000046'),
+      ('clip_000048', 'clip_000046'),
+      ('clip_000049', 'clip_000046'),
+      ('clip_000050', 'clip_000046'),
+      ('clip_000051', 'clip_000046'),
+      ('clip_000052', 'clip_000046'),
+      ('clip_000053', 'clip_000046'),
+      ('clip_000054', 'clip_000046'),
+      ('clip_000055', 'clip_000046'),
+      ('clip_000056', 'clip_000056'),
+      ('clip_000057', 'clip_000056'),
+      ('clip_000058', 'clip_000056'),
+      ('clip_000059', 'clip_000059'),
+      ('clip_000060', 'clip_000059'),
+      ('clip_000061', 'clip_000059'),
+      ('clip_000062', 'clip_000059'),
+      ('clip_000063', 'clip_000059'),
+      ('clip_000064', 'clip_000064'),
+      ('clip_000065', 'clip_000064'),
+      ('clip_000066', 'clip_000066'),
+      ('clip_000067', 'clip_000066'),
+      ('clip_000068', 'clip_000066'),
+      ('clip_000069', 'clip_000069'),
+      ('clip_000070', 'clip_000069'),
+      ('clip_000071', 'clip_000071'),
+      ('clip_000072', 'clip_000071'),
+      ('clip_000073', 'clip_000071'),
+      ('clip_000074', 'clip_000071'),
+      ('clip_000075', 'clip_000071'),
+      ('clip_000076', 'clip_000071'),
+      ('clip_000077', 'clip_000071'),
+      ('clip_000078', 'clip_000071'),
+      ('clip_000079', 'clip_000071'),
+      ('clip_000080', 'clip_000071'),
+      ('clip_000081', 'clip_000071'),
+      ('clip_000082', 'clip_000082'),
+      ('clip_000083', 'clip_000082'),
+      ('clip_000084', 'clip_000082'),
+      ('clip_000085', 'clip_000082'),
+      ('clip_000086', 'clip_000082'),
+      ('clip_000087', 'clip_000082'),
+      ('clip_000088', 'clip_000088'),
+      ('clip_000089', 'clip_000088'),
+      ('clip_000090', 'clip_000088'),
+      ('clip_000091', 'clip_000088'),
+      ('clip_000092', 'clip_000092'),
+      ('clip_000093', 'clip_000092'),
+      ('clip_000094', 'clip_000092'),
+      ('clip_000095', 'clip_000092'),
+      ('clip_000096', 'clip_000096'),
+      ('clip_000097', 'clip_000096'),
+      ('clip_000098', 'clip_000096'),
+      ('clip_000099', 'clip_000099'),
+      ('clip_000100', 'clip_000099'),
+      ('clip_000101', 'clip_000101'),
+      ('clip_000102', 'clip_000101'),
+      ('clip_000103', 'clip_000101'),
+      ('clip_000104', 'clip_000101'),
+      ('clip_000105', 'clip_000101'),
+      ('clip_000106', 'clip_000106'),
+      ('clip_000107', 'clip_000106'),
+      ('clip_000108', 'clip_000108'),
+      ('clip_000109', 'clip_000108'),
+      ('clip_000110', 'clip_000108'),
+      ('clip_000111', 'clip_000108'),
+      ('clip_000112', 'clip_000112'),
+      ('clip_000113', 'clip_000112'),
+      ('clip_000114', 'clip_000112'),
+      ('clip_000115', 'clip_000112'),
+      ('clip_000116', 'clip_000112'),
+      ('clip_000117', 'clip_000117'),
+      ('clip_000118', 'clip_000117'),
+      ('clip_000119', 'clip_000117'),
+      ('clip_000120', 'clip_000117'),
+      ('clip_000121', 'clip_000117'),
+      ('clip_000122', 'clip_000117'),
+      ('clip_000123', 'clip_000117'),
+      ('clip_000124', 'clip_000117'),
+      ('clip_000125', 'clip_000117'),
+      ('clip_000126', 'clip_000117'),
+      ('clip_000127', 'clip_000117'),
+      ('clip_000128', 'clip_000128'),
+      ('clip_000129', 'clip_000128'),
+      ('clip_000130', 'clip_000128'),
+      ('clip_000131', 'clip_000128'),
+      ('clip_000132', 'clip_000132'),
+      ('clip_000133', 'clip_000132'),
+      ('clip_000134', 'clip_000134'),
+      ('clip_000135', 'clip_000134'),
+      ('clip_000136', 'clip_000134'),
+      ('clip_000137', 'clip_000134'),
+      ('clip_000138', 'clip_000134'),
+      ('clip_000139', 'clip_000134'),
+      ('clip_000140', 'clip_000134'),
+      ('clip_000141', 'clip_000134'),
+      ('clip_000142', 'clip_000134'),
+      ('clip_000143', 'clip_000134'),
+      ('clip_000144', 'clip_000134'),
+      ('clip_000145', 'clip_000134'),
+      ('clip_000146', 'clip_000134'),
+      ('clip_000147', 'clip_000134'),
+      ('clip_000148', 'clip_000134'),
+      ('clip_000149', 'clip_000134')
+    ) AS t(clip_id, cluster_id)
+    """
 
 
 def q_audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1369,8 @@ QUERIES = {
     # tests/test_spark_search.py golden assertions)
     "search_topk_fixture": (q_search_topk_reference_fixture, sql_search_topk_fixture),
     "search_num_scored": (q_search_num_scored, sql_search_num_scored),
-    # rows-only (audio decode paths DuckDB cannot express)
-    "audio_dedup_clusters": (q_audio_dedup_clusters, None),
+    # audio queries: literal goldens from INDEPENDENT python oracles
+    # (tools/gen_audio_golden.py, tools/gen_cluster_golden.py)
+    "audio_dedup_clusters": (q_audio_dedup_clusters, sql_audio_dedup_clusters),
     "audio_signatures": (q_audio_signatures, sql_audio_signatures),
 }
