@@ -243,3 +243,28 @@ def test_early_hamming_filter_equals_verify_semantics(spark, corpus, cfg):
         F.col("audio_ok") & (F.col("hamming") > cfg.max_hamming)
     ).count()
     assert bad == 0
+
+
+def test_pipeline_matches_independent_oracle_exactly(spark):
+    """The full pipeline's cluster assignments at 150 clips must equal the
+    independent python oracle (tools/gen_cluster_golden.py: band-tuple
+    comparison + union-find + DP LCS -- no shared mechanism with the Spark
+    implementation)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_cluster_golden",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "gen_cluster_golden.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    expected = set(mod.compute_clusters(n_clips=150, seed=42))
+
+    res = synth_clips(n_clips=150, seed=42)
+    df, _ = clips_to_spark(spark, res)
+    got = {
+        (r.clip_id, r.cluster_id)
+        for r in dedup_pipeline(spark, df, DedupConfig()).clusters.collect()
+    }
+    assert got == expected
