@@ -36,28 +36,45 @@ def run_dedup(spark, n_clips: int, corpus_dir: str | None = None) -> tuple[float
     north-rule input shape (an Iceberg clips table, not a driver-cached
     DataFrame; a >heap binary cache also evicts and silently recomputes).
     """
+    from pyspark.sql import functions as F
+
     from go_lsh_spark.config import DedupConfig
     from go_lsh_spark.operators.dedup import dedup_pipeline
-    from go_lsh_spark.sources.synth import synth_clips_distributed
+    from go_lsh_spark.sources.synth import SYNTH_VERSION, synth_clips_distributed
 
+    seed = 42
+    # cache key folds in the synth kernel version + seed: a kernel change or
+    # reseed can never silently reuse a stale corpus (ADVICE r2)
     path = corpus_dir or os.path.join(
-        os.environ.get("TMPDIR", "/tmp"), f"bench_clips_{n_clips}"
+        os.environ.get("TMPDIR", "/tmp"),
+        f"bench_clips_{n_clips}_s{seed}_v{SYNTH_VERSION}",
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         clips, _ = synth_clips_distributed(
-            spark, n_clips=n_clips, seed=42, partitions=max(n_clips // 256, 16)
+            spark, n_clips=n_clips, seed=seed, partitions=max(n_clips // 256, 16)
         )
         clips.write.mode("overwrite").parquet(path)
     clips = spark.read.parquet(path)
     t0 = time.time()
     result = dedup_pipeline(spark, clips, DedupConfig())
-    n = result.clusters.count()
+    # one action materializes the pipeline AND fingerprints the result:
+    # distinct clusters + order-independent assignment checksum (the real
+    # equality evidence; a bare count() is one row per clip by construction)
+    row = result.clusters.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.bit_xor(F.xxhash64("clip_id", "cluster_id")).alias("checksum"),
+    ).collect()[0]
     for df in (result.signatures, result.buckets, result.pairs, result.verified):
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001
             pass
-    return time.time() - t0, n
+    return time.time() - t0, {
+        "n_rows": row["n_rows"],
+        "n_clusters": row["n_clusters"],
+        "checksum": row["checksum"],
+    }
 
 
 def main() -> None:
@@ -107,8 +124,9 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
-    dedup_secs, _n_clusters = run_dedup(spark, N_CLIPS_BENCH)
-    dedup_secs2, _ = run_dedup(spark, N_CLIPS_BENCH)
+    dedup_secs, fp1 = run_dedup(spark, N_CLIPS_BENCH)
+    dedup_secs2, fp2 = run_dedup(spark, N_CLIPS_BENCH)
+    assert fp1 == fp2, f"dedup result fingerprint unstable across runs: {fp1} vs {fp2}"
     dedup_secs = min(dedup_secs, dedup_secs2)
     timings["audio_dedup_e2e"] = round(dedup_secs, 3)
 
@@ -124,6 +142,7 @@ def main() -> None:
                 "n_clips": N_CLIPS_BENCH,
                 "clips_per_sec": round(N_CLIPS_BENCH / dedup_secs, 1),
                 "cpus": int(cpus),
+                "dedup_fingerprint": fp1,
             }
         )
     )

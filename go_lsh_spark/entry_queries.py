@@ -859,15 +859,13 @@ def sql_audio_dedup_clusters() -> str:
 
 
 def q_audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from go_lsh_spark.operators.dedup import build_signatures, extract_features
+    from go_lsh_spark.operators.dedup import clips_to_signatures
     from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
 
     cfg = DedupConfig()
     res = synth_clips(n_clips=40, seed=SEED)
     clips, _ = clips_to_spark(spark, res)
-    sigs = build_signatures(
-        extract_features(clips, cfg), cfg, PlaneSet(cfg.lsh_config())
-    )
+    sigs = clips_to_signatures(clips, cfg, PlaneSet(cfg.lsh_config()))
     return sigs.select("clip_id", "sig64").orderBy("clip_id")
 
 

@@ -34,7 +34,6 @@ from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,53 +53,6 @@ def extract_features(clips: DataFrame, cfg: DedupConfig) -> DataFrame:
     return clips.select(
         "clip_id",
         decode(F.col("bytes"), F.col("codec")).alias("features"),
-        "transcript",
-    )
-
-
-def build_signatures(features: DataFrame, cfg: DedupConfig, planes: PlaneSet) -> DataFrame:
-    """Signatures from a pre-extracted features frame (kept for callers that
-    already have features, e.g. streaming); the batch pipeline uses the
-    fused clips->signatures path below."""
-    sig_udf = V.make_signature64_udf(
-        planes, normalize=True, center=cfg.center_features
-    )
-    from go_lsh_spark.functions import fasthash as FH  # noqa: PLC0415
-    from pyspark.sql.types import ArrayType, LongType  # noqa: PLC0415
-
-    seeds = FH.perm_seeds(cfg.num_perm, seed=cfg.seed)
-    sk, wk, ww = cfg.shingle_k, cfg.winnow_k, cfg.winnow_window
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def mh_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield pd.Series(
-                [
-                    FH.minhash_from_hashes(
-                        FH.shingle_hashes_bytes((t or "").encode(), sk), seeds
-                    ).tolist()
-                    for t in s
-                ]
-            )
-
-    @F.pandas_udf(ArrayType(LongType()))
-    def wn_udf(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for s in it:
-            yield pd.Series(
-                [
-                    FH.winnow_from_hashes(
-                        FH.shingle_hashes_bytes((t or "").encode(), wk), ww
-                    ).tolist()
-                    for t in s
-                ]
-            )
-
-    return features.select(
-        "clip_id",
-        "features",
-        sig_udf(F.col("features")).alias("sig64"),
-        mh_udf("transcript").alias("minhash"),
-        wn_udf("transcript").alias("winnow"),
         "transcript",
     )
 

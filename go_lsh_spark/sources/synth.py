@@ -32,6 +32,11 @@ from go_lsh_spark.functions.audio import CODEC_WAV, encode_wav
 
 FAMILIES = ("spike", "risingstep", "loweringstep", "triangle", "dip")
 
+# bump on ANY change to the synthesis kernel (envelopes, vocab, noise model,
+# group structure, encoding): cached bench corpora key on this + the seed so
+# a kernel change can never silently reuse a stale on-disk corpus
+SYNTH_VERSION = 3
+
 def _make_vocab(n: int = 2000, seed: int = 1234) -> list[str]:
     """Deterministic pseudo-word vocabulary. Large enough that two random
     sentences share almost no character shingles (a 36-word vocab would make

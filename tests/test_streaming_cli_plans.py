@@ -129,3 +129,47 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     }
     assert expected, "degenerate fixture: batch pipeline found no dup pairs"
     assert got.issuperset(expected), expected - got
+
+    # incremental cluster maintenance: after the last microbatch the
+    # clusters table must equal the batch pipeline's assignments exactly
+    # (same roots: the global min clip_id of each component)
+    inc = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+    }
+    exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
+    assert inc == exp
+
+    # partition-pruned point lookup agrees
+    from go_lsh_spark.streaming.ingest import cluster_of
+
+    some_clip = next(iter(exp))
+    assert cluster_of(spark, str(tmp_path / "out"), some_clip) == exp[some_clip]
+
+
+def test_streaming_replay_idempotent(spark, tmp_path):
+    """A replayed microbatch (same _batch_id) must not duplicate rows in the
+    append sinks, and re-applying a cluster merge must be a no-op."""
+    from go_lsh_spark.streaming.ingest import _update_clusters, _write_batch_partition
+
+    df = spark.createDataFrame([(i, f"c{i}") for i in range(8)], "v long, clip_id string")
+    out = str(tmp_path / "tbl")
+    _write_batch_partition(df, 3, out)
+    _write_batch_partition(df, 3, out)  # replay: overwrites its own partition
+    assert spark.read.parquet(out).count() == 8
+    _write_batch_partition(df, 4, out)  # a new batch appends
+    assert spark.read.parquet(out).count() == 16
+
+    clips1 = spark.createDataFrame([("a",), ("b",), ("c",)], "clip_id string")
+    edges1 = spark.createDataFrame([("a", "b")], "clip_id_a string, clip_id_b string")
+    root = str(tmp_path / "st")
+    _update_clusters(spark, root, clips1, edges1)
+    clips2 = spark.createDataFrame([("d",)], "clip_id string")
+    edges2 = spark.createDataFrame([("b", "c"), ("c", "d")], "clip_id_a string, clip_id_b string")
+    for _ in range(2):  # second application = replay, must converge identically
+        _update_clusters(spark, root, clips2, edges2)
+        got = {
+            r.clip_id: r.cluster_id
+            for r in spark.read.parquet(f"{root}/clusters").collect()
+        }
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}

@@ -14,7 +14,9 @@ Protocol notes (why the numbers are measured this way):
 * interleaved best-of-N: co-tenant steal storms inflate individual runs by
   2-5x at random (observed). Levels alternate (2,8,2,8,...) and each level
   reports its best run -- the standard min-time protocol for noisy hosts.
-  Cluster counts must agree across every run.
+  Result equality is asserted across every run via (row count, distinct
+  cluster count, bit_xor(xxhash64(clip_id, cluster_id)) checksum) -- the
+  checksum pins every individual cluster assignment.
 
 * the corpus is a parquet table on disk (the Iceberg input shape of the
   north rule), synthesized once (seeded, parallelism-independent) and NOT
@@ -70,9 +72,21 @@ clips = spark.read.parquet({corpus!r})
 clips.limit(500).count()  # warmup: JVM + codegen + python workers, not timed
 t0 = time.time()
 res = dedup_pipeline(spark, clips, DedupConfig())
-n_clusters = res.clusters.count()
+# result fingerprint, ONE action: rows assigned, distinct clusters, and an
+# order-independent assignment checksum (bit_xor of xxhash64(clip_id,
+# cluster_id) -- the connected_components.py convergence idiom). The
+# checksum changes if ANY clip's cluster assignment differs across
+# parallelism levels; a bare clusters.count() is one row per clip by
+# construction and can never detect divergence (r2 verdict #1).
+from pyspark.sql import functions as F
+row = res.clusters.agg(
+    F.count(F.lit(1)).alias("n_rows"),
+    F.countDistinct("cluster_id").alias("n_clusters"),
+    F.bit_xor(F.xxhash64("clip_id", "cluster_id")).alias("checksum"),
+).collect()[0]
 secs = time.time() - t0
-print(json.dumps({{"cores": {cores}, "secs": secs, "n_clusters": n_clusters}}))
+print(json.dumps({{"cores": {cores}, "secs": secs, "n_rows": row["n_rows"],
+                   "n_clusters": row["n_clusters"], "checksum": row["checksum"]}}))
 spark.stop()
 """
 
@@ -129,8 +143,19 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    clusters = {r["n_clusters"] for rs in runs.values() for r in rs}
-    assert len(clusters) == 1, f"results differ across parallelism: {clusters}"
+    # result equality across EVERY run at EVERY parallelism level: row count,
+    # distinct-cluster count, and the order-independent per-assignment
+    # checksum must all agree (the checksum is the real gate -- it pins every
+    # (clip_id, cluster_id) pair, not just table shape)
+    fingerprints = {
+        (r["n_rows"], r["n_clusters"], r["checksum"])
+        for rs in runs.values()
+        for r in rs
+    }
+    assert len(fingerprints) == 1, (
+        f"results differ across parallelism: {fingerprints}"
+    )
+    n_rows, n_clusters, checksum = next(iter(fingerprints))
     best = {lv: max(rs, key=lambda r: r["throughput"]) for lv, rs in runs.items()}
     lo, hi = LEVELS
     eff = (best[hi]["throughput"] / best[lo]["throughput"]) / (hi / lo)
@@ -163,8 +188,13 @@ def main() -> None:
             f"{rows}\n\n"
             f"**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** "
             "(gate ≥ 0.8 per BASELINE.json)\n\n"
-            f"Cluster-count agreement across all {REPEATS * len(LEVELS)} runs: "
-            f"{clusters.pop()} ✓\n\n"
+            f"Result-equality across all {REPEATS * len(LEVELS)} runs "
+            f"(every parallelism level, every repeat): {n_rows} assignment "
+            f"rows, {n_clusters} distinct clusters, order-independent "
+            f"assignment checksum `bit_xor(xxhash64(clip_id, cluster_id))` = "
+            f"`{checksum}` — all three identical in every run ✓ (the checksum "
+            "pins each clip's cluster assignment, so any divergent "
+            "assignment across parallelism levels would change it)\n\n"
             f"Host baseline measured in the same session: a pure-python "
             f"multiprocessing burn scales {burn[str(lo)]:.2f} → "
             f"{burn[str(hi)]:.2f} units/s from {lo}→{hi} procs = "
@@ -172,8 +202,8 @@ def main() -> None:
             f"imposes on ANY {lo}→{hi} measurement (beyond ~8-10 busy vCPUs "
             "the host degrades: the same burn gives ~0.7 at 4→16 and ~0.55 "
             "at 8→32, with co-tenant CPU steal spiking to 18%). Interleaved "
-            "best-of runs control for steal storms; cluster counts pin "
-            "result equality across parallelism.\n\n"
+            "best-of runs control for steal storms; the assignment checksum "
+            "above pins result equality across parallelism.\n\n"
             f"Normalized by that same-session host ceiling, the pipeline "
             f"achieves **{eff / burn_eff:.3f}** of the parallel speedup the "
             "VM itself can deliver — on a real N→4N-executor cluster "
