@@ -72,19 +72,10 @@ class SparkLSH:
             "query_id long, index long, vector array<double>",
         )
         opts = (opts or SearchOptions()).validate()
-        buckets = self.buckets
-        if opts.max_lag >= 0:
-            # literal row-range prefilter: with the query index known
-            # driver-side this pushes to the scan as a partition/parquet
-            # filter (the reference's row enumeration, tables/tables.go:
-            # 113-122, as static pruning)
-            from go_lsh_spark.oracle import go_div
-
-            rs = self.cfg.row_size
-            start_row = go_div(index - opts.max_lag, rs) * rs
-            end_row = go_div(index + opts.max_lag, rs) * rs
-            buckets = buckets.filter(F.col("row_index").between(start_row, end_row))
-        res = S.search(q, buckets, self.forward, self.cfg, self.planes, opts)
+        # the literal row-range prefilter (the reference's row enumeration,
+        # tables/tables.go:113-122, as static partition pruning) now lives in
+        # operators.search.search for single- AND multi-query batches alike
+        res = S.search(q, self.buckets, self.forward, self.cfg, self.planes, opts)
         rows = res.scores.orderBy("rank").collect()
         num_scored = res.candidates.count()
         return (

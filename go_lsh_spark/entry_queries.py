@@ -1191,13 +1191,30 @@ IVF_K = 16       # coarse centroids (deterministic seeded sample)
 IVF_NPROBE = 4   # centroid lists probed per query
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str):
-    """(vectors, centroids, assignments): IVF coarse quantization with a
-    deterministic centroid sample (every (n/K)-th vec_id) -- the
+def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table, one
+    min_by groupBy on vec_id -- no shuffle of the big side beyond it."""
+    dist = V.dot("emb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")  # ||c||^2 - 2<v,c>
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cid", dist.alias("_d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
+            F.first("emb").alias("emb"),
+        )
+    )
+
+
+def _ivf_assignments(spark: SparkSession, sf_dir: str, refine: bool = True):
+    """(vectors, centroids, assignments): IVF coarse quantization -- the
     inverted-file ANN structure (coarse quantize -> probe nprobe nearest
-    lists -> exact scoring inside them). The centroid table is tiny and
-    broadcasts; assignment is one broadcast join + min_by, no shuffle of
-    the big side beyond the groupBy on vec_id."""
+    lists -> exact scoring inside them). Centroids start as a deterministic
+    seeded sample (every (n/K)-th vec_id) and, with refine=True, get ONE
+    k-means iteration: element-wise mean per list (posexplode + map-side-
+    combined avg, rounded to 6dp so cross-engine float-sum order can't flip
+    an assignment) followed by re-assignment. The centroid table is tiny and
+    broadcasts at every step; no all-pairs work anywhere."""
     emb = _emb_double(_read(spark, sf_dir, "embeddings"))
     n = emb.count()
     step = max(n // IVF_K, 1)
@@ -1208,24 +1225,30 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str):
             F.col("emb").alias("cemb"),
         )
     )
-    dist = V.dot("emb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")  # ||c||^2 - 2<v,c>
-    assigned = (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cid", dist.alias("_d"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
-            F.first("emb").alias("emb"),
+    assigned = _ivf_assign(emb, cent)
+    if refine:
+        # one Lloyd iteration: every seed centroid keeps at least its own
+        # seed vector, so no list can empty out
+        cent = (
+            assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+            .select("cid", F.col("_pm.m").alias("cemb"))
         )
-    )
+        assigned = _ivf_assign(emb, cent)
     return emb, cent, assigned
 
 
-def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ann_ivf(
+    spark: SparkSession, sf_dir: str, refine: bool = True
+) -> DataFrame:
     """IVF top-K: probe the IVF_NPROBE nearest centroid lists per query,
     exact cosine inside them (the scale path alongside ann_lsh; brute
-    topk_cosine is the baseline)."""
-    _, cent, assigned = _ivf_assignments(spark, sf_dir)
+    topk_cosine is the baseline). refine=False keeps the raw seeded-sample
+    centroids (test baseline for the k-means refinement)."""
+    _, cent, assigned = _ivf_assignments(spark, sf_dir, refine=refine)
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -1261,13 +1284,33 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def sql_ann_ivf() -> str:
+def _sql_ivf_cte() -> str:
+    """Shared oracle CTE chain: seed centroids -> first assignment -> one
+    k-means iteration (element-wise mean, rounded 6dp like the Spark side)
+    -> refined centroids -> final assignment."""
     return f"""
-    WITH embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
+    embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
     n AS (SELECT GREATEST(COUNT(*) // {IVF_K}, 1) AS step FROM embd),
-    cent AS (
+    cent0 AS (
       SELECT CAST(vec_id // step AS INT) AS cid, embd AS cemb
       FROM embd, n WHERE vec_id % step = 0 AND vec_id // step < {IVF_K}
+    ),
+    assigned0 AS (
+      SELECT vec_id, embd, cid FROM (
+        SELECT e.vec_id, e.embd, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(e.embd, c.cemb), c.cid
+               ) AS r
+        FROM embd e CROSS JOIN cent0 c
+      ) WHERE r = 1
+    ),
+    cent AS (
+      SELECT cid, list(m ORDER BY i) AS cemb FROM (
+        SELECT a.cid, t.i, ROUND(AVG(a.embd[t.i + 1]), 6) AS m
+        FROM assigned0 a, range({EMB_DIM}) t(i)
+        GROUP BY a.cid, t.i
+      ) GROUP BY cid
     ),
     assigned AS (
       SELECT vec_id, embd, cid FROM (
@@ -1278,7 +1321,12 @@ def sql_ann_ivf() -> str:
                ) AS r
         FROM embd e CROSS JOIN cent c
       ) WHERE r = 1
-    ),
+    )"""
+
+
+def sql_ann_ivf() -> str:
+    return f"""
+    WITH {_sql_ivf_cte()},
     probes AS (
       SELECT query_id, qemb, cid FROM (
         SELECT a.vec_id AS query_id, a.embd AS qemb, c.cid,
@@ -1337,6 +1385,40 @@ def sql_ann_recall() -> str:
     """
 
 
+def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of the IVF ANN (k-means-refined centroids, nprobe probes)
+    against the brute-force top-K -- closes the loop for the second ANN
+    scale path the way ann_recall does for the LSH one (r2 verdict #4)."""
+    brute = q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = brute.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    qs = brute.select("query_id").distinct()
+    return qs.join(hits, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("n_hit"), F.lit(0)) / F.lit(float(TOPK)), 6
+        ).alias("recall"),
+    )
+
+
+def sql_ann_recall_ivf() -> str:
+    return f"""
+    WITH brute AS ({sql_topk_cosine()}),
+    ann AS ({sql_ann_ivf()}),
+    hits AS (
+      SELECT b.query_id, COUNT(*) AS n_hit
+      FROM brute b JOIN ann a
+        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+      GROUP BY b.query_id
+    )
+    SELECT q.query_id, ROUND(COALESCE(h.n_hit, 0) / {float(TOPK)}, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM brute) q
+    LEFT JOIN hits h USING (query_id)
+    """
+
+
 QUERIES = {
     "simhash_buckets": (q_simhash_buckets, sql_simhash_buckets),
     "bucket_join_pairs": (q_bucket_join_pairs, sql_bucket_join_pairs),
@@ -1361,6 +1443,7 @@ QUERIES = {
     "simhash_neardup_pairs": (q_simhash_neardup_pairs, sql_simhash_neardup_pairs),
     "winnowing_fingerprints": (q_winnowing, sql_winnowing),
     "ann_recall": (q_ann_recall, sql_ann_recall),
+    "ann_recall_ivf": (q_ann_recall_ivf, sql_ann_recall_ivf),
     "cosine_neardup_pairs": (q_cosine_neardup_pairs, sql_cosine_neardup_pairs),
     # VALUES goldens from the reference's TestLSHSearch fixture
     # (hashing is UDF-side; expected rows proven by the numpy oracle and

@@ -201,6 +201,22 @@ def search(
     queries: (query_id, index, vector); buckets/forward from operators.index.
     """
     opts = (opts or SearchOptions()).validate()
+    if opts.max_lag > ALL_LAGS:
+        # global row-range prefilter for the whole query batch: queries are
+        # small (driver-submitted), so min/max(index) is a cheap scalar pass,
+        # and the literal BETWEEN it produces reaches the bucket scan as a
+        # partition / parquet filter -- without it a batch of queries scans
+        # every row partition and the lag bound only applies post-join
+        # (engine.search's single-query pruning, generalized; r2 verdict #3).
+        # The exact per-query lag refinement still applies in candidate_join.
+        from go_lsh_spark.oracle import go_div  # noqa: PLC0415
+
+        row = queries.agg(F.min("index").alias("lo"), F.max("index").alias("hi")).collect()[0]
+        if row["lo"] is not None:
+            rs = cfg.row_size
+            start_row = go_div(int(row["lo"]) - opts.max_lag, rs) * rs
+            end_row = go_div(int(row["hi"]) + opts.max_lag, rs) * rs
+            buckets = buckets.filter(F.col("row_index").between(start_row, end_row))
     qh = hash_queries(queries, cfg, planes, opts)
     cands = candidate_join(qh, buckets, cfg, opts)
     scored = score_candidates(cands, queries, forward, cfg)

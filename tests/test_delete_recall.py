@@ -88,3 +88,48 @@ def test_ann_recall_meets_stats_prediction(spark):
 
     expect = float(np.mean([predicted(s) for s in sims]))
     assert measured >= expect, (measured, expect)
+
+
+def test_ivf_refined_centroids_beat_seeded_baseline(spark):
+    """One k-means (Lloyd) iteration over the seeded-sample centroids must
+    (a) cut the quantization error -- the provable Lloyd property -- and
+    (b) lift recall@K at IVF_NPROBE on the sf0.1 embeddings (recall is
+    noisier than inertia at toy scale, so the recall claim is pinned at the
+    larger SF where the effect is stable: 0.55 -> 0.61 measured)."""
+    from pyspark.sql import functions as F
+
+    from go_lsh_spark import entry_queries as EQ
+    from go_lsh_spark.functions import vector as V
+
+    sf_dir = "/root/testdata/sf0.1"
+    brute = EQ.q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = brute.persist()
+    n_q = brute.select("query_id").distinct().count()
+
+    stats = {}
+    for refine in (False, True):
+        _, cent, assigned = EQ._ivf_assignments(spark, sf_dir, refine=refine)
+        dist = (
+            V.dot("emb", "cemb") * F.lit(-2.0)
+            + V.dot("cemb", "cemb")
+            + V.dot("emb", "emb")
+        )
+        inertia = (
+            assigned.join(cent, "cid")
+            .select(dist.alias("_d"))
+            .agg(F.sum("_d"))
+            .collect()[0][0]
+        )
+        hits = (
+            brute.join(
+                EQ.q_ann_ivf(spark, sf_dir, refine=refine).select(
+                    "query_id", "neighbor_id"
+                ),
+                ["query_id", "neighbor_id"],
+            ).count()
+        )
+        stats[refine] = (inertia, hits / (n_q * EQ.TOPK))
+    brute.unpersist()
+
+    assert stats[True][0] < stats[False][0] * 0.75, stats  # >=25% inertia cut
+    assert stats[True][1] > stats[False][1], stats

@@ -83,6 +83,37 @@ def test_bucket_scan_prunes_with_literal_row_filter(spark, tmp_path):
     assert pruned.select("row_index").distinct().count() == 2
 
 
+def test_multi_query_search_prunes_bucket_partitions(spark, tmp_path):
+    """A BATCH of queries with max_lag >= 0 must prune bucket partitions via
+    the global [min(index)-lag, max(index)+lag] literal prefilter -- not scan
+    every row partition and lag-filter post-join."""
+    from go_lsh_spark.config import LSHConfig, SearchOptions
+    from go_lsh_spark.engine import SparkLSH
+    from go_lsh_spark.operators import search as S
+
+    docs = spark.createDataFrame(
+        [(i, (i % 8) * 7200, [float(i % 5), 1.0, -1.0]) for i in range(32)],
+        "uid long, index long, vector array<double>",
+    )
+    eng = SparkLSH(spark, LSHConfig(num_tables=4)).index(docs, cache=False)
+    path = str(tmp_path / "buckets")
+    eng.buckets.write.partitionBy("row_index").parquet(path)
+    stored = spark.read.parquet(path)
+
+    queries = spark.createDataFrame(
+        [(0, 0, [1.0, 1.0, -1.0]), (1, 7200, [2.0, 1.0, -1.0])],
+        "query_id long, index long, vector array<double>",
+    )
+    res = S.search(
+        queries, stored, eng.forward, eng.cfg, eng.planes,
+        SearchOptions(max_lag=900, threshold=0.0),
+    )
+    plan = explain_str(res.candidates, "formatted")
+    assert "PartitionFilters: [" in plan
+    # the literal range must actually appear (not an empty pushdown list)
+    assert "row_index" in plan.split("PartitionFilters")[1][:200]
+
+
 def test_candidate_pairs_plan_has_no_window(spark):
     """Bucket sizing must be a map-side-combined aggregate + join, never a
     window function: a window partition must fit one task, so a degenerate
