@@ -20,6 +20,16 @@ matching fingerprint exists, the stage is skipped and read back -- the
 resume path the north rule requires. Partition columns propagate to the
 parquet layout so downstream range predicates prune files (mirrors the
 reference's row-bucket enumeration, tables/tables.go:113-122).
+
+fmt='parquet+manifest' adds the Iceberg trick in miniature: every stage
+commit records its live data files in an atomically-replaced `_manifest.json`
+and reads go through the manifest, so `delete_uids` can rewrite ONLY the
+files that contain deleted uids (detected via the `_metadata.file_path`
+column + a broadcast semi-join), swap the manifest in one os.replace, and
+leave every other data file untouched -- a file-pruned row delete instead of
+a full table rewrite. Every crash point leaves a readable table: new files
+land before the manifest swap (invisible until it), and old files are
+removed only after it (stale-but-unlisted files are harmless garbage).
 """
 
 from __future__ import annotations
@@ -36,6 +46,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 STAGE_SIDECAR = "_stage.json"
+MANIFEST = "_manifest.json"
+
+
+def _strip_uri(p: str) -> str:
+    """file:/x or file:///x -> /x (the `_metadata.file_path` column is a URI)."""
+    if p.startswith("file:"):
+        p = p[5:]
+        while p.startswith("//"):
+            p = p[1:]
+    return p
+
+
+def _shuffle_totals(spark: SparkSession) -> dict | None:
+    """Cumulative (shuffle read, shuffle write, input, output) bytes across
+    all Spark stages so far, from the JVM AppStatusStore (the store that
+    backs the UI; available even with spark.ui.enabled=false). Deltas of
+    this around a stage write give the stage's real shuffle width -- the
+    evidence for claims like 'deferring the transcript join narrows the
+    verify shuffle'. Returns None if the internal API shifts (fail-soft:
+    metrics are telemetry, never load-bearing)."""
+    try:
+        jvm = spark._jvm
+        store = spark._jsparkSession.sparkContext().statusStore()
+        empty = jvm.java.util.Collections.emptyList()
+        defaults = [getattr(store, f"stageList$default${i}")() for i in range(2, 6)]
+        it = store.stageList(empty, *defaults).iterator()
+        out = {"shuffle_read_bytes": 0, "shuffle_write_bytes": 0,
+               "input_bytes": 0, "output_bytes": 0}
+        while it.hasNext():
+            s = it.next()
+            out["shuffle_read_bytes"] += s.shuffleReadBytes()
+            out["shuffle_write_bytes"] += s.shuffleWriteBytes()
+            out["input_bytes"] += s.inputBytes()
+            out["output_bytes"] += s.outputBytes()
+        return out
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def _fingerprint(obj) -> str:
@@ -55,6 +102,7 @@ class StageInfo:
     wall_secs: float
     committed_at: float
     resumed: bool = False
+    shuffle: dict | None = None
 
 
 @dataclass
@@ -82,8 +130,42 @@ class Warehouse:
         except (json.JSONDecodeError, KeyError, OSError):
             return False
 
+    @property
+    def _fmt_real(self) -> str:
+        return "parquet" if self.fmt == "parquet+manifest" else self.fmt
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self.path(name), MANIFEST)
+
+    def _list_data_files(self, path: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            for fn in files:
+                if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                    out.append(os.path.relpath(os.path.join(root, fn), path))
+        return sorted(out)
+
+    def _write_manifest(self, name: str, files: list[str]) -> None:
+        """Atomic manifest swap (os.replace): readers see either the old or
+        the new file list, never a partial state."""
+        mf = self._manifest_path(name)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"files": sorted(files), "updated_at": time.time()}, f, indent=2)
+        os.replace(tmp, mf)
+
+    def manifest_files(self, name: str) -> list[str]:
+        with open(self._manifest_path(name)) as f:
+            return json.load(f)["files"]
+
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.format(self.fmt).load(self.path(name))
+        path = self.path(name)
+        if self.fmt == "parquet+manifest":
+            files = [os.path.join(path, f) for f in self.manifest_files(name)]
+            # basePath keeps partition-directory columns (src=.../band=...)
+            # resolvable when loading an explicit file list
+            return self.spark.read.option("basePath", path).parquet(*files)
+        return self.spark.read.format(self.fmt).load(path)
 
     def run(
         self,
@@ -123,11 +205,12 @@ class Warehouse:
             return self.read(name)
 
         t0 = time.time()
+        shuf0 = _shuffle_totals(self.spark)
         df = fn()
         path = self.path(name)
         if os.path.exists(path):
             shutil.rmtree(path)
-        writer = df.write.format(self.fmt).mode("overwrite")
+        writer = df.write.format(self._fmt_real).mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         if bucket_by:
@@ -138,14 +221,20 @@ class Warehouse:
             # bucket transform.
             n, cols = bucket_by
             df = df.repartition(n, *cols)
-            writer = df.write.format(self.fmt).mode("overwrite")
+            writer = df.write.format(self._fmt_real).mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
         writer.save(path)
+        if self.fmt == "parquet+manifest":
+            self._write_manifest(name, self._list_data_files(path))
 
         out = self.read(name)
         rows = out.count()
         wall = time.time() - t0
+        shuf1 = _shuffle_totals(self.spark)
+        shuffle = (
+            {k: shuf1[k] - shuf0[k] for k in shuf1} if shuf0 and shuf1 else None
+        )
         meta = {
             "name": name,
             "fingerprint": fp,
@@ -155,6 +244,7 @@ class Warehouse:
             "wall_secs": wall,
             "committed_at": time.time(),
             "config": config or {},
+            "shuffle": shuffle,
         }
         with open(self._sidecar(name), "w") as f:
             json.dump(meta, f, indent=2)
@@ -167,13 +257,75 @@ class Warehouse:
             partition_by=list(partition_by),
             wall_secs=wall,
             committed_at=meta["committed_at"],
+            shuffle=shuffle,
         )
         return out
 
+    def _delete_pruned(
+        self, name: str, deleted: DataFrame, uid_col: str
+    ) -> None:
+        """File-pruned row delete (fmt='parquet+manifest'): rewrite ONLY the
+        data files that contain a deleted uid; every other file survives
+        untouched and the manifest swap is the single atomic commit point.
+
+        Crash safety at every step: (1) the rewrite lands in a tmp dir
+        outside the table; (2) moved-in files are invisible until the
+        manifest swap; (3) old affected files are removed only after the
+        swap -- a crash leaves at worst unlisted garbage files, never a
+        corrupt or partial table."""
+        path = self.path(name)
+        df = self.read(name).withColumn("_file", F.col("_metadata.file_path"))
+        affected_raw = [
+            r["_file"]
+            for r in df.join(F.broadcast(deleted), uid_col, "left_semi")
+            .select("_file")
+            .distinct()
+            .collect()
+        ]
+        if not affected_raw:
+            return
+        affected = [_strip_uri(p) for p in affected_raw]
+        affected_rel = {os.path.relpath(p, path) for p in affected}
+        remaining_in_affected = (
+            df.filter(F.col("_file").isin(affected_raw))
+            .drop("_file")
+            .join(F.broadcast(deleted), uid_col, "left_anti")
+        )
+        meta_part = []
+        sc = self._sidecar(name)
+        if os.path.exists(sc):
+            with open(sc) as f:
+                meta_part = json.load(f).get("partition_by", [])
+        tmp = path + "__delta"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        w = remaining_in_affected.write.format("parquet").mode("overwrite")
+        if meta_part:
+            w = w.partitionBy(*meta_part)
+        w.save(tmp)
+        moved = []
+        for rel in self._list_data_files(tmp):
+            dst = os.path.join(path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(os.path.join(tmp, rel), dst)
+            moved.append(rel)
+        live = [
+            f for f in self.manifest_files(name) if f not in affected_rel
+        ] + moved
+        self._write_manifest(name, live)  # atomic commit point
+        for p in affected:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def delete_uids(self, name: str, uids: Sequence, uid_col: str = "uid") -> int:
-        """O6 against a PERSISTED stage: rewrite `<root>/<name>` without the
-        given uids (with fmt='iceberg' this would be a metadata-only
-        `DELETE FROM` row delete; the parquet layout rewrites files).
+        """O6 against a PERSISTED stage: remove the given uids from
+        `<root>/<name>` (with fmt='iceberg' this would be a metadata-only
+        `DELETE FROM`; fmt='parquet+manifest' rewrites only the files that
+        contain deleted rows; plain parquet rewrites the stage with a
+        crash-recoverable rename-aside swap).
 
         Returns rows removed. Raises DocumentNotStored if any requested uid
         is absent -- the reference's per-uid error (lsh/lsh.go:93-102,
@@ -182,6 +334,11 @@ class Warehouse:
         """
         from go_lsh_spark.oracle import DocumentNotStored  # noqa: PLC0415
 
+        path = self.path(name)
+        old = path + "__old"
+        if not os.path.exists(path) and os.path.exists(old):
+            # recover from a crash between the two renames below
+            os.rename(old, path)
         df = self.read(name)
         uid_type = df.schema[uid_col].dataType.simpleString()
         deleted = self.spark.createDataFrame(
@@ -191,12 +348,20 @@ class Warehouse:
             r[uid_col]
             for r in deleted.join(df, uid_col, "left_semi").distinct().collect()
         }
-        remaining = df.join(F.broadcast(deleted), uid_col, "left_anti")
-        path = self.path(name)
-        tmp = path + "__rewrite"
-        remaining.write.format(self.fmt).mode("overwrite").save(tmp)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+        if self.fmt == "parquet+manifest":
+            self._delete_pruned(name, deleted, uid_col)
+        else:
+            remaining = df.join(F.broadcast(deleted), uid_col, "left_anti")
+            tmp = path + "__rewrite"
+            remaining.write.format(self._fmt_real).mode("overwrite").save(tmp)
+            # rename-aside swap: every crash point leaves a recoverable table
+            # (old copy intact until the new one is in place) -- never
+            # rmtree-then-rename, whose mid-crash destroys the stage
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old)
         out = self.read(name)
         rows = out.count()
         sc = self._sidecar(name)
@@ -225,6 +390,7 @@ class Warehouse:
                 "resumed": s.resumed,
                 "fingerprint": s.fingerprint,
                 "inputs": s.inputs,
+                "shuffle": s.shuffle,
             }
             for n, s in self.stages.items()
         }

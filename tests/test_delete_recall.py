@@ -64,6 +64,83 @@ def test_warehouse_delete_unknown_uid_raises(spark, tmp_path):
     assert wh.read("forward").filter(F.col("uid") == 3).count() == 0
 
 
+def test_manifest_delete_touches_strict_subset_of_files(spark, tmp_path):
+    """fmt='parquet+manifest': deleting uids rewrites ONLY the data files
+    containing them -- every other file must survive byte-identical."""
+    wh = Warehouse(spark, str(tmp_path / "wh"), fmt="parquet+manifest")
+    df = spark.range(100).select(
+        F.col("id").alias("uid"), (F.col("id") * 2).alias("v")
+    ).repartition(8)
+    wh.run("t", lambda: df)
+    before = set(wh.manifest_files("t"))
+    assert len(before) == 8
+
+    # uid 5 lives in exactly one file
+    target_file = (
+        wh.read("t")
+        .withColumn("_f", F.col("_metadata.file_path"))
+        .filter(F.col("uid") == 5)
+        .select("_f")
+        .collect()[0]["_f"]
+    )
+    wh.delete_uids("t", [5])
+    after = set(wh.manifest_files("t"))
+    kept = before & after
+    assert len(kept) == 7, (before, after)  # 7 of 8 files untouched
+    assert len(after) == 8  # one rewritten replacement
+    out = wh.read("t")
+    assert out.count() == 99
+    assert out.filter(F.col("uid") == 5).count() == 0
+    # the dropped file is the one that held uid 5, and is gone from disk
+    import os
+
+    from go_lsh_spark.sources.catalog import _strip_uri
+
+    assert not os.path.exists(_strip_uri(target_file))
+
+
+def test_manifest_delete_partitioned_stage(spark, tmp_path):
+    """File-pruned delete must preserve partition-directory columns and
+    place rewritten files back under their partition dirs."""
+    wh = Warehouse(spark, str(tmp_path / "whp"), fmt="parquet+manifest")
+    df = spark.range(40).select(
+        F.col("id").alias("uid"), (F.col("id") % 4).alias("p"), F.col("id").alias("v")
+    )
+    wh.run("t", lambda: df.repartition(2, "p"), partition_by=["p"])
+    before = set(wh.manifest_files("t"))
+    wh.delete_uids("t", [8])  # p = 0
+    out = wh.read("t")
+    assert out.count() == 39
+    assert sorted(r["p"] for r in out.select("p").distinct().collect()) == [0, 1, 2, 3]
+    after = set(wh.manifest_files("t"))
+    assert before & after, "some files must survive untouched"
+    # reference semantics still hold in manifest mode
+    with pytest.raises(DocumentNotStored):
+        wh.delete_uids("t", [8])
+
+
+def test_warehouse_records_shuffle_metrics(spark, tmp_path):
+    """Stage sidecars record shuffle read/write byte deltas (from the JVM
+    AppStatusStore) so shuffle-width claims are assertable, not inferred."""
+    import json
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "whm"))
+    wh.run(
+        "agg",
+        lambda: spark.range(50000)
+        .selectExpr("id % 97 as k", "id as v")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s")),
+    )
+    with open(os.path.join(str(tmp_path / "whm"), "agg_stage.json")) as f:
+        meta = json.load(f)
+    shuf = meta["shuffle"]
+    assert shuf is not None
+    assert shuf["shuffle_write_bytes"] > 0
+    assert wh.metrics()["agg"]["shuffle"] == shuf
+
+
 def test_ann_recall_meets_stats_prediction(spark):
     """Measured recall@K of the LSH-bucketed ANN must beat the reference
     Stats formula's prediction (lsh/lsh.go:277-282: p_diff = 2/pi*acos(s),
