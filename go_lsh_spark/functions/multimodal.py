@@ -35,6 +35,7 @@ VIDEO_SCHEMA = (
 RAW_GRAY8 = "raw_gray8"          # width*height bytes, row-major, 8-bit gray
 RAW_FRAMES_GRAY8 = "raw_frames_gray8"  # n_frames consecutive raw_gray8 planes
 PNG = "png"                      # real stdlib-zlib decoder below
+JPEG = "jpeg"                    # real baseline decoder in functions/jpeg.py
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -180,9 +181,18 @@ def decode_image(raw: bytes, width: int, height: int, codec: str) -> np.ndarray:
         if img.shape != (height, width):
             raise ValueError(f"png size mismatch: {img.shape} != {height}x{width}")
         return img
-    # STUB: jpeg/webp decoders plug in here (PIL/libvips on a real
+    if codec == JPEG:
+        from go_lsh_spark.functions.jpeg import decode_jpeg  # noqa: PLC0415
+
+        img = to_gray(decode_jpeg(raw))
+        if img.shape != (height, width):
+            raise ValueError(f"jpeg size mismatch: {img.shape} != {height}x{width}")
+        return img
+    # STUB: webp/avif decoders plug in here (PIL/libvips on a real
     # cluster); this sandbox has no image codec libraries.
-    raise NotImplementedError(f"image codec {codec!r}: only {RAW_GRAY8}/{PNG} here")
+    raise NotImplementedError(
+        f"image codec {codec!r}: only {RAW_GRAY8}/{PNG}/{JPEG} here"
+    )
 
 
 def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -34,7 +34,7 @@ def test_decode_and_features_roundtrip():
 
 def test_unknown_codecs_are_explicit_stubs():
     with pytest.raises(NotImplementedError):
-        decode_image(b"x", 1, 1, "jpeg")
+        decode_image(b"x", 1, 1, "webp")
     from go_lsh_spark.functions.multimodal import decode_video_frames
 
     with pytest.raises(NotImplementedError):
@@ -119,5 +119,113 @@ def test_png_unsupported_flavors_are_explicit():
 
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG\r\n\x1a\nnot-a-chunk")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff", 4, 4, "jpeg")
+
+
+# -- JPEG (real baseline T.81 codec, functions/jpeg.py) -----------------------
+
+
+def _smooth_image(seed=7, h=41, w=53):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (
+        128 + 60 * np.sin(xx / 9.0) + 40 * np.cos(yy / 7.0) + rng.normal(0, 4, (h, w))
+    ).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("quality,max_err", [(95, 10), (90, 14), (50, 24)])
+def test_jpeg_roundtrip_quality(quality, max_err):
+    """Lossy roundtrip through our own encoder: error bounded by quality;
+    odd (non-multiple-of-8) dimensions exercise edge-block padding."""
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = _smooth_image()
+    dec = decode_jpeg(encode_jpeg_gray(img, quality=quality))
+    assert dec.shape == img.shape
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= max_err and err.mean() <= max_err / 3, (
+        err.max(), err.mean(),
+    )
+
+
+def test_jpeg_flat_image_near_exact():
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    flat = np.full((16, 24), 77, np.uint8)
+    dec = decode_jpeg(encode_jpeg_gray(flat, 90))
+    np.testing.assert_array_equal(dec, flat)
+
+
+@pytest.mark.parametrize("restart_interval", [1, 3, 7])
+def test_jpeg_restart_markers(restart_interval):
+    """RSTn segmentation must decode identically to the unsegmented stream
+    (byte realign + DC predictor reset path)."""
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    img = _smooth_image(seed=11)
+    base = decode_jpeg(encode_jpeg_gray(img, 90))
+    seg = decode_jpeg(encode_jpeg_gray(img, 90, restart_interval=restart_interval))
+    np.testing.assert_array_equal(seg, base)
+
+
+def test_jpeg_color420_roundtrip_and_gray_consistency():
+    """4:2:0 YCbCr: multi-component interleave + chroma upsample + YCbCr->RGB
+    decode paths. Equal-channel RGB must decode bit-identically to the gray
+    path (chroma planes quantize to flat 128 -> zero chroma everywhere)."""
+    from go_lsh_spark.functions.jpeg import (
+        decode_jpeg,
+        encode_jpeg_color420,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    h, w = 37, 45
+    yy, xx = np.mgrid[0:h, 0:w]
+    rgb = np.stack(
+        [
+            128 + 60 * np.sin(xx / 9.0) + rng.normal(0, 3, (h, w)),
+            128 + 40 * np.cos(yy / 7.0) + rng.normal(0, 3, (h, w)),
+            128 + 30 * np.sin((xx + yy) / 11.0) + rng.normal(0, 3, (h, w)),
+        ],
+        axis=-1,
+    ).clip(0, 255).astype(np.uint8)
+    dec = decode_jpeg(encode_jpeg_color420(rgb, 90))
+    assert dec.shape == (h, w, 3)
+    err = np.abs(dec.astype(int) - rgb.astype(int))
+    assert err.mean() <= 5 and err.max() <= 25, (err.mean(), err.max())
+
+    gray = rgb[..., 0]
+    eq = np.stack([gray] * 3, axis=-1)
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg_color420(eq, 90)),
+        np.stack([decode_jpeg(encode_jpeg_gray(gray, 90))] * 3, axis=-1),
+    )
+
+
+def test_jpeg_progressive_is_explicit_stub():
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    enc = bytearray(encode_jpeg_gray(_smooth_image(), 90))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(enc))
+
+
+def test_jpeg_decode_image_and_feature_frame(spark):
+    """The Spark mapInPandas image path decodes jpeg like any other codec."""
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+    from go_lsh_spark.functions.multimodal import JPEG
+
+    rows, expected = [], {}
+    for i in range(4):
+        img = _smooth_image(seed=20 + i, h=12, w=16)
+        enc = encode_jpeg_gray(img, 90)
+        rows.append((f"jpg{i}", enc, 16, 12, JPEG))
+        expected[f"jpg{i}"] = image_features(decode_jpeg(enc), grid=4)
+    df = spark.createDataFrame(rows, IMAGE_SCHEMA)
+    feats = {r["image_id"]: r["features"] for r in image_feature_frame(df).collect()}
+    assert len(feats) == 4
+    for iid, exp in expected.items():
+        np.testing.assert_allclose(feats[iid], exp, rtol=1e-12)
