@@ -101,6 +101,7 @@ def main() -> None:
         "ann_lsh",
         "ann_ivf",
         "ann_recall",
+        "ann_recall_ivf",
         "minhash_signatures",
         "ngram_jaccard_pairs",
         "exact_dedup",

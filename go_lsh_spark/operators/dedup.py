@@ -208,29 +208,34 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Distinct (clip_id_a < clip_id_b) pairs sharing any bucket, with the
     evidence sources that produced them. Skew-split: see module docstring."""
     key = ["src", "band", "hash"]
-    # bucket sizes via groupBy + shuffle join, NOT a window count: a window
-    # partition must fit one task, so a degenerate hot bucket would land its
-    # entire membership in a single task *before* the salting below could
-    # act. The groupBy is map-side-combined; the join key is the bucket key,
-    # so AQE's skew-join can split a hot bucket across tasks. The size table
-    # is O(distinct buckets) -- it is joined, never collected or broadcast
-    # (could not exist driver-side at 10^12 clips).
-    sizes = (
-        buckets.groupBy(*key)
-        .agg(F.count(F.lit(1)).alias("_bsize"))
-        .filter(F.col("_bsize") > 1)  # singleton buckets can't produce pairs
-        # stop-gram cap: a winnow fingerprint's bucket size IS its document
-        # frequency ((hash, clip_id) rows are unique), so fingerprints in
-        # more than winnow_max_df docs -- quadratic hot buckets of unrelated
-        # docs sharing a common phrase -- drop here, in the same size pass
-        # the skew split needs anyway
-        .filter(
-            (F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df)
-        )
-    )
-    sized = buckets.join(sizes, key)
-    cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
-    hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
+    # bucket sizes via a map-side-combined groupBy, NOT a window count: a
+    # window partition must fit one task, so a degenerate hot bucket would
+    # land its entire membership in a single task *before* the salting below
+    # could act. Only the EXCEPTIONAL key sets leave this aggregate:
+    # stop-gram-capped winnow fingerprints and over-cap hot buckets. The
+    # full bucket table is then filtered with anti/semi joins against those
+    # key sets with NO broadcast hint -- AQE picks a broadcast join at
+    # runtime when the sets are small (the overwhelmingly common case: no
+    # shuffle of the bucket table at all) and falls back to a shuffle join
+    # when a pathological corpus makes them large, so the plan stays safe at
+    # 10^12 clips. This replaced an unconditional full-table sizes join
+    # (measured ~35% of the whole candidate stage at 500k clips); singleton
+    # buckets now ride through the self-join shuffle unfiltered, which costs
+    # their row volume once but produces no pairs and no extra join pass.
+    sizes = buckets.groupBy(*key).agg(F.count(F.lit(1)).alias("_bsize"))
+    # stop-gram cap: a winnow fingerprint's bucket size IS its document
+    # frequency ((hash, clip_id) rows are unique), so fingerprints in more
+    # than winnow_max_df docs -- quadratic hot buckets of unrelated docs
+    # sharing a common phrase -- are dropped entirely
+    capped = sizes.filter(
+        (F.col("src") == "winnow") & (F.col("_bsize") > cfg.winnow_max_df)
+    ).select(*key)
+    hot_keys = sizes.filter(
+        (F.col("_bsize") > cfg.max_bucket_size)
+        & ((F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df))
+    ).select(*key)
+    cold = buckets.join(capped, key, "left_anti").join(hot_keys, key, "left_anti")
+    hot = buckets.join(hot_keys, key, "left_semi")
 
     pair_cols = [
         F.col("a.src").alias("src"),
@@ -248,8 +253,13 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     ham_ok = (F.col("a.src") != F.lit("simhash")) | (
         V.hamming64(F.col("a.sig64"), F.col("b.sig64")) <= cfg.max_hamming
     )
+    # shuffle_hash: the equal-sized self-join would otherwise SortMergeJoin,
+    # paying two full sorts of the bucket table; a shuffled hash join skips
+    # them (hash join spills since Spark 3.2, and AQE skew handling still
+    # applies)
     pairs = (
         cold.alias("a")
+        .hint("shuffle_hash")
         .join(
             cold.alias("b"),
             [

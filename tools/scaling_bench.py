@@ -39,10 +39,17 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+from go_lsh_spark.sources.synth import SYNTH_VERSION  # noqa: E402
+
 N_CLIPS = int(os.environ.get("SCALING_N_CLIPS", "100000"))
 LEVELS = (2, 8)
 REPEATS = int(os.environ.get("SCALING_REPEATS", "3"))
-CORPUS = os.environ.get("SCALING_CORPUS", f"/tmp/scaling_clips_{N_CLIPS}")
+# cache key folds in the synth kernel version + seed (42 below) so a kernel
+# change can never silently reuse a stale corpus
+CORPUS = os.environ.get(
+    "SCALING_CORPUS", f"/tmp/scaling_clips_{N_CLIPS}_s42_v{SYNTH_VERSION}"
+)
 
 GEN = r"""
 import sys
