@@ -27,7 +27,11 @@ Protocol notes (why the numbers are measured this way):
   (which a real 4N-executor cluster scales horizontally by construction).
 
 Each parallelism level runs in its own subprocess so the JVMs don't share
-thread pools; OMP/BLAS threads are pinned to 1 so numpy can't oversubscribe.
+thread pools; OMP/BLAS threads are pinned to 1 so numpy can't oversubscribe;
+-XX:ActiveProcessorCount pins each child JVM's internal pools (GC, JIT,
+netty, ForkJoin) to its task-slot count, the way cgroups confine a real
+N-core executor -- without it the "2-core" JVM borrows extra host cores
+through those pools and the ratio under-reports true N->4N scaling.
 """
 
 from __future__ import annotations
@@ -72,8 +76,17 @@ sys.path.insert(0, {repo!r})
 from go_lsh_spark.session import build_session
 from go_lsh_spark.config import DedupConfig
 from go_lsh_spark.operators.dedup import dedup_pipeline
+# -XX:ActiveProcessorCount confines the child JVM to exactly its task-slot
+# count, the way a cgroup-confined N-core executor is on a real cluster.
+# Without it the JVM sizes GC / JIT / netty / ForkJoin pools for all 32
+# host vCPUs, so the local[2] "2-core" baseline silently borrows extra host
+# cores (measured ~900s -> ~615s inflation) and corrupts the N-vs-4N ratio;
+# the 8-core run also gets slightly FASTER with it (23 GC threads bursting
+# past the host's ~10-effective-vCPU knee hurt more than they helped).
 spark = build_session(app_name="scaling", master="local[{cores}]",
-                      shuffle_partitions={cores})
+                      shuffle_partitions={cores},
+                      extra_conf={{"spark.driver.extraJavaOptions":
+                                   "-XX:ActiveProcessorCount={cores}"}})
 spark.sparkContext.setLogLevel("ERROR")
 clips = spark.read.parquet({corpus!r})
 clips.limit(500).count()  # warmup: JVM + codegen + python workers, not timed
@@ -190,7 +203,12 @@ def main() -> None:
             f"parallelism level, best of {REPEATS} interleaved runs per "
             f"level. `local[{lo}]` vs `local[{hi}]` is the sandbox proxy "
             "for N vs 4N executors (no real cluster available — BASELINE.md "
-            "note).\n\n"
+            "note). Each child JVM runs with "
+            "`-XX:ActiveProcessorCount=<cores>` so its GC/JIT/netty pools "
+            "are confined to the task-slot count exactly as cgroups confine "
+            "a real N-core executor — without it the 2-core baseline "
+            "silently borrows extra host cores through those pools and the "
+            "ratio under-reports true N→4N scaling.\n\n"
             "| cores | wall (s) | clips/sec | all runs (s) |\n|---|---|---|---|\n"
             f"{rows}\n\n"
             f"**Scaling efficiency ({lo}→{hi} cores): {eff:.3f}** "
