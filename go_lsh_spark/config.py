@@ -149,12 +149,66 @@ class DedupConfig:
     salt_factor: int = 8
     # connected components
     max_cc_iterations: int = 20
+    # --- streaming state partitioning (streaming/ingest.py) ---------------
+    # Hash-partition counts for the incrementally maintained state tables
+    # (clusters, cluster_index, winnow_df) and the secondary bucket-key /
+    # signature-id partitioning of the append sinks. 0 means "derive from
+    # expected_corpus_rows" (or fall back to the sandbox floors); explicit
+    # values win. Partition counts are baked into the on-disk layout
+    # (pmod(xxhash64(key), N) is the partition function), so ingest
+    # validates them against the table's `_state_meta.json` sidecar and
+    # FAILS LOUDLY on mismatch instead of silently mixing layouts.
+    expected_corpus_rows: int = 0
+    n_cluster_parts: int = 0
+    n_df_parts: int = 0
+    n_key_parts: int = 0
+    n_sig_parts: int = 0
 
     def __post_init__(self) -> None:
         if self.num_bands * self.rows_per_band > 64:
             raise ValueError("num_bands * rows_per_band must be <= 64")
         if self.num_perm % self.minhash_bands != 0:
             raise ValueError("num_perm must be divisible by minhash_bands")
+        for k in ("expected_corpus_rows", "n_cluster_parts", "n_df_parts",
+                  "n_key_parts", "n_sig_parts"):
+            if getattr(self, k) < 0:
+                raise ValueError(f"{k} must be >= 0")
+
+    def _derived_parts(self, explicit: int, rows_per_part: int, floor: int) -> int:
+        """Partition-count derivation: explicit knob wins; else size from the
+        expected corpus so one partition targets ~rows_per_part rows (power
+        of two, never below the sandbox floor). At 10^12 clips the clusters
+        table derives ~2^20 partitions instead of the sandbox's 64."""
+        if explicit:
+            return explicit
+        if self.expected_corpus_rows:
+            import math  # noqa: PLC0415
+
+            need = max(1, self.expected_corpus_rows // rows_per_part)
+            return max(floor, 1 << math.ceil(math.log2(need)))
+        return floor
+
+    @property
+    def cluster_parts(self) -> int:
+        """clusters + cluster_index tables: one row per clip."""
+        return self._derived_parts(self.n_cluster_parts, 1_000_000, 64)
+
+    @property
+    def df_parts(self) -> int:
+        """winnow_df counts table: ~one row per distinct fingerprint
+        (winnowing emits ~len(transcript)/winnow_window fps per clip)."""
+        return self._derived_parts(self.n_df_parts, 4_000_000, 32)
+
+    @property
+    def key_parts(self) -> int:
+        """secondary bucket-key partitioning of the streaming buckets sink
+        (rows per clip ~ num_bands + minhash_bands + fps)."""
+        return self._derived_parts(self.n_key_parts, 8_000_000, 16)
+
+    @property
+    def sig_parts(self) -> int:
+        """secondary clip-id partitioning of the streaming signatures sink."""
+        return self._derived_parts(self.n_sig_parts, 500_000, 16)
 
     @property
     def sig_bits(self) -> int:

@@ -171,11 +171,208 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
     assert inc == exp
 
-    # partition-pruned point lookup agrees
-    from go_lsh_spark.streaming.ingest import cluster_of
+    # partition-pruned point lookup agrees (routed through read_clusters,
+    # which must keep _cpart in its projection for pruning)
+    from go_lsh_spark.streaming.ingest import cluster_of, read_clusters
 
     some_clip = next(iter(exp))
     assert cluster_of(spark, str(tmp_path / "out"), some_clip) == exp[some_clip]
+    assert "_cpart" in read_clusters(spark, str(tmp_path / "out")).columns
+
+    # the incremental winnow_df counts table must equal the true document
+    # frequencies (one row per distinct fingerprint; winnow bucket rows are
+    # unique per (hash, clip_id))
+    truth = {
+        r.hash: r.n
+        for r in spark.read.parquet(str(tmp_path / "out" / "buckets"))
+        .filter(F.col("src") == "winnow")
+        .groupBy("hash")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got_df = {
+        r.hash: r.df
+        for r in spark.read.parquet(str(tmp_path / "out" / "winnow_df")).collect()
+    }
+    assert got_df == truth
+
+    # per-batch telemetry was recorded (one line per microbatch) and the
+    # per-batch reads stayed bounded by the batch's touched partitions
+    metrics_path = tmp_path / "out" / "_batch_metrics.jsonl"
+    records = [json.loads(line) for line in metrics_path.read_text().splitlines()]
+    assert len(records) >= 2
+    assert all("touched_kparts" in r and "wall_secs" in r for r in records)
+
+
+@pytest.mark.slow
+def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
+    """Incremental-vs-batch semantics at a size where bucket collisions and
+    the winnow stop-gram cap genuinely span microbatches (r3 verdict #6):
+    ~1.5k clips over 5 batches.
+
+    The corpus-level df cap cannot be evaluated exactly online (a
+    fingerprint crossing the cap in batch k already emitted pairs in
+    batches < k), so the contract is two-part and both halves are pinned:
+      1. live streaming state is a CO ARSENING of batch state -- every batch
+         cluster sits inside exactly one streaming cluster (never split,
+         never missed);
+      2. reconcile() restores EXACT batch equality, and is idempotent.
+    """
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.streaming.ingest import (
+        read_clip_stream,
+        reconcile,
+        start_incremental_dedup,
+    )
+
+    res = synth_clips(n_clips=1500, seed=13)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    clips.repartition(5).write.parquet(src)
+
+    cfg = DedupConfig()
+    stream = read_clip_stream(spark, src, max_files=1)
+    q = start_incremental_dedup(stream, cfg, str(tmp_path / "out"), str(tmp_path / "ck"))
+    q.awaitTermination(600)
+
+    batch = dedup_pipeline(spark, clips, cfg)
+    exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
+    assert len({v for v in exp.values()}) < len(exp), "degenerate: no dup groups"
+
+    inc_live = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+    }
+    # 1. coarsening: clips the batch pipeline groups together are together
+    #    in the live streaming state too (merges are a superset)
+    batch_to_live = {}
+    for clip, bcl in exp.items():
+        live = inc_live[clip]
+        assert batch_to_live.setdefault(bcl, live) == live, (
+            f"batch cluster {bcl} split across live clusters"
+        )
+
+    # 2. reconcile -> exact equality, and the pass is idempotent
+    stats = reconcile(spark, str(tmp_path / "out"), cfg)
+    inc = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+    }
+    assert inc == exp
+    stats2 = reconcile(spark, str(tmp_path / "out"), cfg)
+    assert stats2["dropped_pairs"] == 0
+    inc2 = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+    }
+    assert inc2 == exp
+
+    # post-reconcile the stored pair SET equals the batch pipeline's
+    got_pairs = {
+        (r.clip_id_a, r.clip_id_b)
+        for r in spark.read.parquet(str(tmp_path / "out" / "verified_pairs")).collect()
+    }
+    exp_pairs = {
+        (r.clip_id_a, r.clip_id_b) for r in batch.verified.collect()
+    }
+    assert got_pairs == exp_pairs
+    assert stats["suspect_pairs"] >= stats["dropped_pairs"]
+
+
+def test_winnow_df_incremental_and_idempotent(spark, tmp_path):
+    """The winnow document-frequency cap must be maintained incrementally:
+    per-batch counts upsert into the winnow_df table (O(batch), partition-
+    pruned) and a replayed batch must not double-count."""
+    from go_lsh_spark.streaming.ingest import update_winnow_df
+
+    out = str(tmp_path / "st")
+    b1 = spark.createDataFrame([(100, 3), (200, 1)], "hash long, delta long")
+    capped = update_winnow_df(spark, out, b1, 0, n_parts=8, max_df=4)
+    assert capped.count() == 0
+    b2 = spark.createDataFrame([(100, 2), (300, 1)], "hash long, delta long")
+    capped = update_winnow_df(spark, out, b2, 1, n_parts=8, max_df=4)
+    # 100 now has df 5 > 4 and is in this batch -> capped
+    assert [r.hash for r in capped.collect()] == [100]
+    # replay of batch 1: identical content, df must NOT double-count
+    capped = update_winnow_df(spark, out, b2, 1, n_parts=8, max_df=4)
+    got = {
+        r.hash: r.df for r in spark.read.parquet(f"{out}/winnow_df").collect()
+    }
+    assert got == {100: 5, 200: 1, 300: 1}
+    assert [r.hash for r in capped.collect()] == [100]
+
+
+def test_streaming_state_reads_prune(spark, tmp_path):
+    """Every per-batch read of accumulated state must partition-prune:
+    winnow_df by _dfpart, buckets by (_batch_id, _kpart), signatures by
+    _spart -- the per-batch plan reads the df table, never re-aggregates
+    the accumulated buckets (r3 verdict #1)."""
+    from go_lsh_spark.streaming.ingest import (
+        _write_batch_partition,
+        read_old_buckets,
+        read_pair_signatures,
+        read_winnow_partitions,
+        update_winnow_df,
+    )
+
+    out = str(tmp_path / "st")
+    counts = spark.createDataFrame(
+        [(h, 1) for h in range(40)], "hash long, delta long"
+    )
+    update_winnow_df(spark, out, counts, 0, n_parts=16, max_df=4)
+    plan = explain_str(read_winnow_partitions(spark, out, [3]), "formatted")
+    assert "PartitionFilters: [" in plan
+    assert "_dfpart" in plan.split("PartitionFilters")[1][:200]
+    # the capped-set path must not touch the buckets table at all
+    assert "/buckets" not in plan
+
+    buckets = spark.createDataFrame(
+        [("simhash", 0, h, f"c{h}", h, h % 4) for h in range(16)],
+        "src string, band int, hash long, clip_id string, sig64 long, _kpart int",
+    )
+    _write_batch_partition(buckets, 0, f"{out}/buckets", extra_parts=("_kpart",))
+    _write_batch_partition(buckets, 1, f"{out}/buckets", extra_parts=("_kpart",))
+    old = read_old_buckets(spark, out, 1, [2])
+    plan = explain_str(old, "formatted")
+    frag = plan.split("PartitionFilters")[1][:300]
+    assert "_kpart" in frag and "_batch_id" in frag
+    # batch 1 excluded, only _kpart==2 rows of batch 0 remain
+    assert old.count() == 4
+
+    sigs = spark.createDataFrame(
+        [(f"c{i}", i, i % 4) for i in range(8)],
+        "clip_id string, sig64 long, _spart int",
+    )
+    _write_batch_partition(sigs, 0, f"{out}/signatures", extra_parts=("_spart",))
+    plan = explain_str(read_pair_signatures(spark, out, [1, 2]), "formatted")
+    assert "_spart" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_state_meta_partition_mismatch_fails_loudly(spark, tmp_path):
+    """Partition counts are baked into the on-disk layout: reopening an
+    existing streaming output with different counts must raise, not
+    silently mix pmod layouts (r3 verdict #4)."""
+    import pytest as _pytest
+
+    from go_lsh_spark.streaming.ingest import ensure_state_meta
+
+    out = str(tmp_path / "st")
+    ensure_state_meta(out, DedupConfig())
+    ensure_state_meta(out, DedupConfig())  # same config: fine
+    with _pytest.raises(ValueError, match="partition-count mismatch"):
+        ensure_state_meta(out, DedupConfig(n_cluster_parts=32))
+
+
+def test_partition_count_derivation():
+    """0 = derive from expected_corpus_rows (power of two, floored for the
+    sandbox); explicit knobs win."""
+    cfg = DedupConfig()
+    assert (cfg.cluster_parts, cfg.df_parts) == (64, 32)
+    big = DedupConfig(expected_corpus_rows=10**12)
+    assert big.cluster_parts == 1 << 20  # 10^12 clips / 1M rows per part
+    assert big.cluster_parts * 1_000_000 >= 10**12
+    explicit = DedupConfig(n_cluster_parts=128, expected_corpus_rows=10**12)
+    assert explicit.cluster_parts == 128
 
 
 def test_streaming_replay_idempotent(spark, tmp_path):
