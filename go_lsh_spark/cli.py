@@ -5,6 +5,9 @@ clusters; on local mode the session factory builds local[N]).
 Commands:
   synth  --out DIR --n-clips N            write a deterministic clips table
   dedup  --clips DIR --warehouse DIR      run the checkpointed pipeline
+                                          (manifest-mode warehouse by default:
+                                          atomic commits, file-pruned deletes)
+  delete --warehouse DIR --stage S --uids a,b   remove rows from a stage
   search --docs PARQUET --vector CSV      one LSH search over a documents table
   stats                                   print the false-negative curve
 """
@@ -29,6 +32,24 @@ def main(argv=None) -> int:
     dp.add_argument("--clips", required=True)
     dp.add_argument("--warehouse", required=True)
     dp.add_argument("--threshold", type=float, default=0.85)
+    dp.add_argument(
+        "--fmt",
+        default="parquet+manifest",
+        choices=["parquet+manifest", "parquet", "iceberg"],
+        help="warehouse table format (default: manifest mode -- atomic "
+        "commits + file-pruned deletes)",
+    )
+
+    xp = sub.add_parser("delete", help="remove uids from a persisted stage")
+    xp.add_argument("--warehouse", required=True)
+    xp.add_argument("--stage", required=True)
+    xp.add_argument("--uids", required=True, help="comma-separated ids")
+    xp.add_argument("--uid-col", default="uid")
+    xp.add_argument(
+        "--fmt",
+        default="parquet+manifest",
+        choices=["parquet+manifest", "parquet", "iceberg"],
+    )
 
     qp = sub.add_parser("search")
     qp.add_argument("--docs", required=True)
@@ -52,6 +73,12 @@ def main(argv=None) -> int:
         print(json.dumps(compute_stats(LSHConfig(), 0), indent=2))
         return 0
 
+    from pyspark.sql import SparkSession
+
+    # embedded calls (tests, notebooks) may already own a session --
+    # getOrCreate would hand it back and stopping it here would kill the
+    # caller's session, so only stop what this entry point created
+    preexisting = SparkSession.getActiveSession() is not None
     spark = build_session(app_name=f"go-lsh-spark-{args.cmd}")
     try:
         if args.cmd == "synth":
@@ -67,7 +94,7 @@ def main(argv=None) -> int:
             from go_lsh_spark.sources.catalog import Warehouse, external_input_id
 
             clips = spark.read.parquet(args.clips)
-            wh = Warehouse(spark, args.warehouse)
+            wh = Warehouse(spark, args.warehouse, fmt=args.fmt)
             res = dedup_pipeline(
                 spark,
                 clips,
@@ -77,6 +104,17 @@ def main(argv=None) -> int:
             )
             n = res.clusters.count()
             print(json.dumps({"clusters_rows": n, "stages": wh.metrics()}, indent=2))
+        elif args.cmd == "delete":
+            from go_lsh_spark.sources.catalog import Warehouse
+
+            wh = Warehouse(spark, args.warehouse, fmt=args.fmt)
+            uids = [u for u in args.uids.split(",") if u]
+            # uid column type drives parsing (clip_id is string, uid is long)
+            typ = wh.read(args.stage).schema[args.uid_col].dataType.simpleString()
+            if typ in ("bigint", "int", "long", "smallint"):
+                uids = [int(u) for u in uids]
+            rows = wh.delete_uids(args.stage, uids, uid_col=args.uid_col)
+            print(json.dumps({"stage": args.stage, "rows_after": rows}))
         elif args.cmd == "search":
             from go_lsh_spark.engine import SparkLSH
 
@@ -101,7 +139,8 @@ def main(argv=None) -> int:
             )
             print(json.dumps({"scores": scores, "num_scored": n_scored}))
     finally:
-        spark.stop()
+        if not preexisting:
+            spark.stop()
     return 0
 
 

@@ -50,12 +50,22 @@ MANIFEST = "_manifest.json"
 
 
 def _strip_uri(p: str) -> str:
-    """file:/x or file:///x -> /x (the `_metadata.file_path` column is a URI)."""
-    if p.startswith("file:"):
-        p = p[5:]
-        while p.startswith("//"):
-            p = p[1:]
-    return p
+    """file:/x or file:///x -> /x (the `_metadata.file_path` column is a URI).
+
+    Parsed with urlparse rather than hand-stripped slashes: a
+    `file://host/x` URI (non-empty authority) must be rejected, not silently
+    mapped to /host/x -- file-pruned deletes os.remove() these paths, and on
+    a non-local Hadoop FS that would target the wrong file (r3 ADVICE)."""
+    from urllib.parse import unquote, urlparse  # noqa: PLC0415
+
+    u = urlparse(p)
+    if not u.scheme:
+        return p
+    if u.scheme != "file":
+        raise ValueError(f"non-local file URI not supported here: {p}")
+    if u.netloc not in ("", "localhost"):
+        raise ValueError(f"file URI with remote authority not supported: {p}")
+    return unquote(u.path)
 
 
 def _shuffle_totals(spark: SparkSession) -> dict | None:
@@ -107,10 +117,40 @@ class StageInfo:
 
 @dataclass
 class Warehouse:
+    """fmt options:
+      * 'parquet+manifest' (DEFAULT): atomic manifest-swap commits +
+        file-pruned deletes -- strictly better than plain parquet and what
+        the CLI uses.
+      * 'parquet': plain directory tables; deletes are full rewrites with a
+        crash-recoverable rename-aside swap.
+      * 'iceberg': SKETCH ONLY -- requires the Iceberg runtime jar, which
+        this sandbox does not have; constructing a stage with it raises
+        NotImplementedError unless the jar is detected on the classpath.
+        On a real cluster the manifest mode's commit/delete semantics map
+        1:1 onto Iceberg snapshots + delete files.
+    """
+
     spark: SparkSession
     root: str
-    fmt: str = "parquet"  # 'iceberg' on clusters with the runtime jar
+    fmt: str = "parquet+manifest"
     stages: dict = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        if self.fmt == "iceberg" and not self._iceberg_available():
+            raise NotImplementedError(
+                "fmt='iceberg' requires the Iceberg runtime jar on the Spark "
+                "classpath (none in this sandbox); use fmt='parquet+manifest' "
+                "for the same commit/delete semantics in miniature"
+            )
+
+    def _iceberg_available(self) -> bool:
+        try:
+            self.spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+                "org.apache.iceberg.catalog.Catalog"
+            )
+            return True
+        except Exception:  # noqa: BLE001
+            return False
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -145,13 +185,28 @@ class Warehouse:
                     out.append(os.path.relpath(os.path.join(root, fn), path))
         return sorted(out)
 
-    def _write_manifest(self, name: str, files: list[str]) -> None:
+    def _write_manifest(
+        self, name: str, files: list[str], schema_json: dict | None = None
+    ) -> None:
         """Atomic manifest swap (os.replace): readers see either the old or
-        the new file list, never a partial state."""
+        the new file list, never a partial state. The table schema rides in
+        the manifest so a legitimately EMPTY table (e.g. every row deleted)
+        stays readable (r3 ADVICE)."""
         mf = self._manifest_path(name)
+        if schema_json is None and os.path.exists(mf):
+            with open(mf) as f:
+                schema_json = json.load(f).get("schema")
         tmp = mf + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"files": sorted(files), "updated_at": time.time()}, f, indent=2)
+            json.dump(
+                {
+                    "files": sorted(files),
+                    "schema": schema_json,
+                    "updated_at": time.time(),
+                },
+                f,
+                indent=2,
+            )
         os.replace(tmp, mf)
 
     def manifest_files(self, name: str) -> list[str]:
@@ -161,7 +216,29 @@ class Warehouse:
     def read(self, name: str) -> DataFrame:
         path = self.path(name)
         if self.fmt == "parquet+manifest":
-            files = [os.path.join(path, f) for f in self.manifest_files(name)]
+            mf = self._manifest_path(name)
+            if not os.path.exists(mf):
+                # legacy plain-parquet stage opened under the (new) default
+                # manifest mode: adopt it by backfilling a manifest from the
+                # directory listing, then read through it
+                self._write_manifest(name, self._list_data_files(path))
+            with open(mf) as f:
+                manifest = json.load(f)
+            files = [os.path.join(path, f) for f in manifest["files"]]
+            if not files:
+                # empty table (all rows deleted): reconstruct from the
+                # schema recorded at last write instead of crashing on a
+                # zero-path parquet read
+                from pyspark.sql.types import StructType  # noqa: PLC0415
+
+                if manifest.get("schema") is None:
+                    raise ValueError(
+                        f"stage {name!r} manifest lists no files and carries "
+                        "no schema; table is unreadable"
+                    )
+                return self.spark.createDataFrame(
+                    [], StructType.fromJson(manifest["schema"])
+                )
             # basePath keeps partition-directory columns (src=.../band=...)
             # resolvable when loading an explicit file list
             return self.spark.read.option("basePath", path).parquet(*files)
@@ -226,7 +303,9 @@ class Warehouse:
                 writer = writer.partitionBy(*partition_by)
         writer.save(path)
         if self.fmt == "parquet+manifest":
-            self._write_manifest(name, self._list_data_files(path))
+            self._write_manifest(
+                name, self._list_data_files(path), schema_json=df.schema.jsonValue()
+            )
 
         out = self.read(name)
         rows = out.count()

@@ -119,6 +119,97 @@ def test_manifest_delete_partitioned_stage(spark, tmp_path):
         wh.delete_uids("t", [8])
 
 
+def test_plain_parquet_delete_rename_aside(spark, tmp_path):
+    """fmt='parquet' (explicit, no longer the default): deletes are full
+    rewrites with the crash-recoverable rename-aside swap, leaving no
+    __old/__rewrite residue on success."""
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "whpp"), fmt="parquet")
+    wh.run("t", lambda: spark.range(20).select(F.col("id").alias("uid")))
+    assert wh.delete_uids("t", [3, 7]) == 18
+    assert wh.read("t").filter(F.col("uid").isin([3, 7])).count() == 0
+    assert not os.path.exists(str(tmp_path / "whpp" / "t__old"))
+    assert not os.path.exists(str(tmp_path / "whpp" / "t__rewrite"))
+
+
+def test_manifest_is_default_and_empty_table_stays_readable(spark, tmp_path):
+    """The default warehouse format is parquet+manifest (r3 verdict #3), and
+    a delete that empties the table leaves it READABLE as an empty frame
+    with the recorded schema instead of crashing on a zero-path parquet
+    read (r3 ADVICE)."""
+    wh = Warehouse(spark, str(tmp_path / "whe"))
+    assert wh.fmt == "parquet+manifest"
+    wh.run("t", lambda: spark.range(5).select(F.col("id").alias("uid")))
+    assert wh.manifest_files("t")
+    wh.delete_uids("t", list(range(5)))
+    out = wh.read("t")
+    assert out.count() == 0
+    assert out.columns == ["uid"]
+    # and a legacy plain-parquet directory opened under manifest mode is
+    # adopted via a backfilled manifest
+    legacy = Warehouse(spark, str(tmp_path / "whl"), fmt="parquet")
+    legacy.run("t", lambda: spark.range(4).select(F.col("id").alias("uid")))
+    adopted = Warehouse(spark, str(tmp_path / "whl"))
+    assert adopted.read("t").count() == 4
+    assert adopted.manifest_files("t")
+
+
+def test_strip_uri_rejects_remote_authority():
+    from go_lsh_spark.sources.catalog import _strip_uri
+
+    assert _strip_uri("/a/b.parquet") == "/a/b.parquet"
+    assert _strip_uri("file:/a/b.parquet") == "/a/b.parquet"
+    assert _strip_uri("file:///a/b.parquet") == "/a/b.parquet"
+    with pytest.raises(ValueError, match="remote authority"):
+        _strip_uri("file://host/a/b.parquet")
+    with pytest.raises(ValueError, match="non-local"):
+        _strip_uri("hdfs://nn/a/b.parquet")
+
+
+def test_iceberg_fmt_requires_runtime_jar(spark, tmp_path):
+    """fmt='iceberg' is a sketch: without the runtime jar it must refuse
+    loudly at construction, not fail obscurely at first write."""
+    with pytest.raises(NotImplementedError, match="Iceberg runtime jar"):
+        Warehouse(spark, str(tmp_path / "whi"), fmt="iceberg")
+
+
+def test_cli_dedup_writes_manifests_and_delete_prunes_files(spark, tmp_path, capsys):
+    """CLI round-trip (r3 verdict #3): `dedup` builds a manifest-mode
+    warehouse, `delete` removes a clip touching a strict subset of the
+    signatures stage's files."""
+    import json as _json
+
+    from go_lsh_spark import cli
+    from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+
+    res = synth_clips(n_clips=30, seed=5)
+    clips, _ = clips_to_spark(spark, res)
+    clips_dir = str(tmp_path / "clips")
+    clips.repartition(4).write.parquet(clips_dir)
+    whdir = str(tmp_path / "wh")
+
+    assert cli.main(["dedup", "--clips", clips_dir, "--warehouse", whdir]) == 0
+    out = _json.loads(capsys.readouterr().out)
+    assert out["clusters_rows"] == 30
+
+    wh = Warehouse(spark, whdir)
+    before = set(wh.manifest_files("signatures"))
+    assert before, "dedup must have committed a signatures manifest"
+    victim = wh.read("signatures").select("clip_id").first()["clip_id"]
+    assert (
+        cli.main(
+            ["delete", "--warehouse", whdir, "--stage", "signatures",
+             "--uids", victim, "--uid-col", "clip_id"]
+        )
+        == 0
+    )
+    after = set(wh.manifest_files("signatures"))
+    assert before & after, "delete must leave untouched files alone"
+    assert before != after
+    assert wh.read("signatures").filter(F.col("clip_id") == victim).count() == 0
+
+
 def test_warehouse_records_shuffle_metrics(spark, tmp_path):
     """Stage sidecars record shuffle read/write byte deltas (from the JVM
     AppStatusStore) so shuffle-width claims are assertable, not inferred."""
