@@ -116,8 +116,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -158,8 +162,12 @@ class _BitReader:
         """Byte-align and consume an RST marker."""
         self.nbits = 0
         d = self.data
-        while d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(d) and (
+            d[self.pos] != 0xFF or not (0xD0 <= d[self.pos + 1] <= 0xD7)
+        ):
             self.pos += 1
+        if self.pos + 1 >= len(d):
+            raise ValueError("truncated JPEG stream")
         self.pos += 2
 
 
@@ -219,7 +227,16 @@ def decode_jpeg(raw: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+                ch, cv = hv >> 4, hv & 0xF
+                # legal-but-unsupported factors (e.g. 3:2) would otherwise
+                # fall through to integer-division upsampling and die with
+                # an opaque numpy shape error; in {1,2} every factor divides
+                # hmax/vmax, so the repeat() upsample is exact
+                if not (1 <= ch <= 2 and 1 <= cv <= 2):
+                    raise NotImplementedError(
+                        f"JPEG sampling factors {ch}x{cv}: only 1..2 supported"
+                    )
+                comps.append({"id": cid, "h": ch, "v": cv, "tq": tq})
             frame = {"h": h, "w": w, "comps": comps}
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):

@@ -157,6 +157,38 @@ def test_jpeg_flat_image_near_exact():
     np.testing.assert_array_equal(dec, flat)
 
 
+def test_jpeg_truncated_stream_raises_cleanly():
+    """Cutting the entropy-coded segment must raise the module's promised
+    ValueError('truncated JPEG stream'), never a raw IndexError from the
+    bit reader (r3 ADVICE)."""
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    full = encode_jpeg_gray(_smooth_image(seed=4), 90)
+    for cut in (len(full) - 8, len(full) // 2 + 20):
+        with pytest.raises(ValueError, match="truncated JPEG stream"):
+            decode_jpeg(full[:cut])
+    # truncation mid-restart-scan hits the reset() path too
+    seg = encode_jpeg_gray(_smooth_image(seed=4), 90, restart_interval=1)
+    with pytest.raises(ValueError, match="truncated JPEG stream"):
+        decode_jpeg(seg[: len(seg) - 10])
+
+
+def test_jpeg_unsupported_sampling_factors_raise():
+    """Legal-but-unsupported SOF0 sampling factors (e.g. 3x1) must raise
+    NotImplementedError at header parse, not an opaque numpy shape error
+    in the upsampler (r3 ADVICE)."""
+    from go_lsh_spark.functions.jpeg import decode_jpeg, encode_jpeg_gray
+
+    raw = bytearray(encode_jpeg_gray(_smooth_image(seed=4), 90))
+    # locate SOF0 and patch the single component's h/v nibbles to 3x1
+    i = raw.find(b"\xff\xc0")
+    assert i > 0
+    hv_off = i + 4 + 6 + 1  # marker(2) + len(2) + prec/h/w/nc(6) + cid(1)
+    raw[hv_off] = 0x31
+    with pytest.raises(NotImplementedError, match="sampling factors"):
+        decode_jpeg(bytes(raw))
+
+
 @pytest.mark.parametrize("restart_interval", [1, 3, 7])
 def test_jpeg_restart_markers(restart_interval):
     """RSTn segmentation must decode identically to the unsegmented stream
