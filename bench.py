@@ -12,6 +12,25 @@ per-operator query timings over the driver's parquet tables.
 Scaling evidence (N vs 4N cores) is produced by tools/scaling_bench.py which
 runs the same dedup pipeline at local[2] and local[8] in separate JVMs
 (interleaved best-of runs) and writes BENCH/BASELINE.md.
+
+Protocol (r3 verdict #5): every number is BEST OF 3 with the raw `runs`
+arrays recorded per query, matching scaling_bench's protocol -- on this
+shared host single runs of the 2k-clip pipeline spread 13.6..16.3s across
+sessions (+-10%), wider than most round-over-round deltas, so a best-of-1
+headline consumed a verdict cycle on noise in r3.
+
+r3 `audio_dedup_e2e` regression post-mortem (13.56s -> 14.97s, r3 verdict
+#2), measured by interleaved best-of-3 A/B at n_clips=2000 on local[32]:
+  * timed-action change (bare count -> fingerprint aggregate): 14.02s vs
+    14.29s -- ~0.3s, the price of real equality evidence; kept.
+  * candidate-sizing restructure (exception-sets vs single sizes join),
+    isolated by swapping ONLY candidate_pairs inside the r3 pipeline:
+    10.68s vs 10.08s best-of-3, identical result fingerprints -- ~0.6s at
+    2k clips (the restructure is a 500k-scale win: ~35% off the candidate
+    stage there). Fixed structurally: candidate_pairs now switches plans on
+    the known clip count (cfg.sizing_join_max_clips), so small corpora get
+    the sizes join back and large corpora keep the exception-sets plan.
+  * remainder (~0.5s): host noise, now bounded by the best-of-3 protocol.
 """
 
 from __future__ import annotations
@@ -112,24 +131,33 @@ def main() -> None:
         "winnowing_fingerprints",
         "row_index_pruning",
     ]
-    # best-of-2 per query: the first execution pays JVM/codegen warmup and
-    # any co-tenant noise spike; the min is the steady-state number (same
-    # min-time protocol as tools/scaling_bench.py)
+    # best-of-3 per query with raw runs recorded: the first execution pays
+    # JVM/codegen warmup and any co-tenant noise spike; the min is the
+    # steady-state number and the spread is on the record (same min-time
+    # protocol as tools/scaling_bench.py)
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in headline:
         fn = QUERIES[name][0]
-        best = float("inf")
-        for _ in range(2):
+        rs = []
+        for _ in range(n_runs):
             t0 = time.time()
             fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            rs.append(round(time.time() - t0, 3))
+        runs[name] = rs
+        timings[name] = min(rs)
 
-    dedup_secs, fp1 = run_dedup(spark, N_CLIPS_BENCH)
-    dedup_secs2, fp2 = run_dedup(spark, N_CLIPS_BENCH)
-    assert fp1 == fp2, f"dedup result fingerprint unstable across runs: {fp1} vs {fp2}"
-    dedup_secs = min(dedup_secs, dedup_secs2)
-    timings["audio_dedup_e2e"] = round(dedup_secs, 3)
+    dedup_runs, fps = [], set()
+    for _ in range(n_runs):
+        secs, fp = run_dedup(spark, N_CLIPS_BENCH)
+        dedup_runs.append(round(secs, 3))
+        fps.add(tuple(sorted(fp.items())))
+    assert len(fps) == 1, f"dedup result fingerprint unstable across runs: {fps}"
+    fp1 = dict(next(iter(fps)))
+    dedup_secs = min(dedup_runs)
+    runs["audio_dedup_e2e"] = dedup_runs
+    timings["audio_dedup_e2e"] = dedup_secs
 
     total = round(sum(timings.values()), 3)
     print(
@@ -139,6 +167,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n_clips": N_CLIPS_BENCH,
                 "clips_per_sec": round(N_CLIPS_BENCH / dedup_secs, 1),

@@ -147,6 +147,14 @@ class DedupConfig:
     # skew handling
     max_bucket_size: int = 2048  # split larger buckets with triangle salting
     salt_factor: int = 8
+    # candidate-sizing plan switch (operators/dedup.candidate_pairs): at or
+    # below this many clips the single-pass sizes join wins (bucket table is
+    # small; extra anti/semi passes cost more than they save -- measured
+    # ~6% of the whole pipeline at 2k clips); above it, the exception-sets
+    # plan never joins full sizes onto the bucket table (measured ~35% off
+    # the candidate stage at 500k clips). The crossover is corpus-shaped;
+    # 50k is a heuristic midpoint between the two measured scales.
+    sizing_join_max_clips: int = 50_000
     # connected components
     max_cc_iterations: int = 20
     # --- streaming state partitioning (streaming/ingest.py) ---------------

@@ -204,38 +204,57 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     return audio.unionByName(text).unionByName(winnow)
 
 
-def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    buckets: DataFrame, cfg: DedupConfig, n_clips: int | None = None
+) -> DataFrame:
     """Distinct (clip_id_a < clip_id_b) pairs sharing any bucket, with the
-    evidence sources that produced them. Skew-split: see module docstring."""
+    evidence sources that produced them. Skew-split: see module docstring.
+
+    Two physically different sizing plans produce the identical pair set;
+    the switch is a corpus-size cost decision (cfg.sizing_join_max_clips):
+
+    * SMALL (n_clips known and <= threshold): one map-side-combined groupBy
+      + one sizes join classifies every bucket row in a single pass --
+      measured ~6% faster end-to-end at 2k clips, where the extra passes of
+      the big plan cost more than the sizes join saves.
+    * LARGE (default when unknown): only the EXCEPTIONAL key sets leave the
+      size aggregate (stop-gram-capped winnow fingerprints and over-cap hot
+      buckets); the bucket table is filtered with anti/semi joins against
+      those sets with NO broadcast hint -- AQE picks a broadcast join at
+      runtime when the sets are small (the overwhelmingly common case: no
+      shuffle of the bucket table at all) and falls back to a shuffle join
+      when a pathological corpus makes them large, so the plan stays safe
+      at 10^12 clips. Replacing the unconditional sizes join this way
+      measured ~35% off the whole candidate stage at 500k clips.
+    """
     key = ["src", "band", "hash"]
     # bucket sizes via a map-side-combined groupBy, NOT a window count: a
     # window partition must fit one task, so a degenerate hot bucket would
     # land its entire membership in a single task *before* the salting below
-    # could act. Only the EXCEPTIONAL key sets leave this aggregate:
-    # stop-gram-capped winnow fingerprints and over-cap hot buckets. The
-    # full bucket table is then filtered with anti/semi joins against those
-    # key sets with NO broadcast hint -- AQE picks a broadcast join at
-    # runtime when the sets are small (the overwhelmingly common case: no
-    # shuffle of the bucket table at all) and falls back to a shuffle join
-    # when a pathological corpus makes them large, so the plan stays safe at
-    # 10^12 clips. This replaced an unconditional full-table sizes join
-    # (measured ~35% of the whole candidate stage at 500k clips); singleton
-    # buckets now ride through the self-join shuffle unfiltered, which costs
-    # their row volume once but produces no pairs and no extra join pass.
+    # could act
     sizes = buckets.groupBy(*key).agg(F.count(F.lit(1)).alias("_bsize"))
-    # stop-gram cap: a winnow fingerprint's bucket size IS its document
-    # frequency ((hash, clip_id) rows are unique), so fingerprints in more
-    # than winnow_max_df docs -- quadratic hot buckets of unrelated docs
-    # sharing a common phrase -- are dropped entirely
-    capped = sizes.filter(
-        (F.col("src") == "winnow") & (F.col("_bsize") > cfg.winnow_max_df)
-    ).select(*key)
-    hot_keys = sizes.filter(
-        (F.col("_bsize") > cfg.max_bucket_size)
-        & ((F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df))
-    ).select(*key)
-    cold = buckets.join(capped, key, "left_anti").join(hot_keys, key, "left_anti")
-    hot = buckets.join(hot_keys, key, "left_semi")
+    small = n_clips is not None and n_clips <= cfg.sizing_join_max_clips
+    if small:
+        sized_keys = sizes.filter(F.col("_bsize") > 1).filter(
+            # stop-gram cap: a winnow fingerprint's bucket size IS its
+            # document frequency ((hash, clip_id) rows are unique), so
+            # fingerprints in more than winnow_max_df docs drop here, in
+            # the same size pass the skew split needs anyway
+            (F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df)
+        )
+        sized = buckets.join(sized_keys, key)
+        cold = sized.filter(F.col("_bsize") <= cfg.max_bucket_size).drop("_bsize")
+        hot = sized.filter(F.col("_bsize") > cfg.max_bucket_size).drop("_bsize")
+    else:
+        capped = sizes.filter(
+            (F.col("src") == "winnow") & (F.col("_bsize") > cfg.winnow_max_df)
+        ).select(*key)
+        hot_keys = sizes.filter(
+            (F.col("_bsize") > cfg.max_bucket_size)
+            & ((F.col("src") != "winnow") | (F.col("_bsize") <= cfg.winnow_max_df))
+        ).select(*key)
+        cold = buckets.join(capped, key, "left_anti").join(hot_keys, key, "left_anti")
+        hot = buckets.join(hot_keys, key, "left_semi")
 
     pair_cols = [
         F.col("a.src").alias("src"),
@@ -476,11 +495,13 @@ def dedup_pipeline(
         # so a second driver-side count barrier buys nothing and serializes
         # the pipeline (r1 scaling-gate finding).
         signatures = clips_to_signatures(clips, cfg, planes).cache()
-        signatures.count()
+        n_clips = signatures.count()
         features = signatures.select("clip_id", "features")
         buckets = build_buckets(signatures, cfg).cache()
-        # pairs feeds verify exactly once -> lazy cache, no extra job
-        pairs = candidate_pairs(buckets, cfg).cache()
+        # pairs feeds verify exactly once -> lazy cache, no extra job.
+        # n_clips rides along (already materialized for the cache) so the
+        # sizing plan switch costs no extra action.
+        pairs = candidate_pairs(buckets, cfg, n_clips=n_clips).cache()
         verified = verify_pairs(pairs, signatures, cfg).cache()
         clusters = cluster_assignments(clips, verified, cfg)
         return DedupResult(features, signatures, buckets, pairs, verified, clusters)
@@ -503,7 +524,11 @@ def dedup_pipeline(
     )
     pairs = warehouse.run(
         "candidate_pairs",
-        lambda: candidate_pairs(buckets, cfg),
+        # the signatures stage sidecar already carries its row count, so
+        # the sizing plan switch is free here too
+        lambda: candidate_pairs(
+            buckets, cfg, n_clips=warehouse.stages["signatures"].rows
+        ),
         config=cfg_dict,
         inputs=["buckets"],
     )

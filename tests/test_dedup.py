@@ -233,6 +233,47 @@ def test_winnow_stopgram_cap_in_size_pass(spark):
     assert got == {("r0", "r1")}
 
 
+def test_sizing_plans_produce_identical_pairs(spark):
+    """candidate_pairs has two physically different sizing plans (single
+    sizes join below cfg.sizing_join_max_clips, exception-sets above); both
+    must emit the IDENTICAL pair set across cold buckets, salted hot
+    buckets, and df-capped winnow fingerprints."""
+    from go_lsh_spark.operators.dedup import candidate_pairs
+
+    cfg = DedupConfig(
+        winnow_max_df=3, winnow_min_matches=1, max_bucket_size=4, salt_factor=3
+    )
+    rows = []
+    # hot simhash bucket: 7 members (> max_bucket_size 4) -> salted path
+    for i in range(7):
+        rows.append(("simhash", 1, 99, f"h{i}", 0))
+    # cold simhash bucket: 3 members
+    for i in range(3):
+        rows.append(("simhash", 2, 50, f"k{i}", 0))
+    # stop-gram winnow fp in 5 clips (> max_df 3): no pairs
+    for i in range(5):
+        rows.append(("winnow", 0, 111, f"c{i}", 0))
+    # rare winnow fps shared by 2 clips: pairs
+    for h in (222, 223):
+        rows.append(("winnow", 0, h, "r0", 0))
+        rows.append(("winnow", 0, h, "r1", 0))
+    buckets = spark.createDataFrame(
+        rows, "src string, band int, hash long, clip_id string, sig64 long"
+    )
+
+    def norm(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    small = candidate_pairs(buckets, cfg, n_clips=10)
+    large = candidate_pairs(buckets, cfg, n_clips=10**9)
+    default = candidate_pairs(buckets, cfg)  # unknown count -> large plan
+    assert norm(small) == norm(large) == norm(default)
+    # and the hot bucket actually produced its full pair set
+    got = {(r.clip_id_a, r.clip_id_b) for r in small.collect()}
+    assert {("h0", "h1"), ("h5", "h6"), ("r0", "r1"), ("k0", "k2")} <= got
+    assert not any(a.startswith("c") for a, _ in got)
+
+
 def test_early_hamming_filter_equals_verify_semantics(spark, corpus, cfg):
     """Pushing the Hamming budget into pair generation must not change the
     verified output: every verified audio pair still satisfies the budget,
