@@ -1206,15 +1206,24 @@ def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     )
 
 
-def _ivf_assignments(spark: SparkSession, sf_dir: str, refine: bool = True):
+def _ivf_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    refine: bool = True,
+    lloyd_iters: int | None = None,
+):
     """(vectors, centroids, assignments): IVF coarse quantization -- the
     inverted-file ANN structure (coarse quantize -> probe nprobe nearest
     lists -> exact scoring inside them). Centroids start as a deterministic
-    seeded sample (every (n/K)-th vec_id) and, with refine=True, get ONE
-    k-means iteration: element-wise mean per list (posexplode + map-side-
+    seeded sample (every (n/K)-th vec_id) and get `lloyd_iters` k-means
+    iterations (default: 1 when refine else 0 -- the oracle SQL mirrors
+    exactly one): element-wise mean per list (posexplode + map-side-
     combined avg, rounded to 6dp so cross-engine float-sum order can't flip
-    an assignment) followed by re-assignment. The centroid table is tiny and
+    an assignment) followed by re-assignment. Quantization error is
+    non-increasing per iteration (the Lloyd property -- asserted over
+    0/1/2 in tests/test_delete_recall.py). The centroid table is tiny and
     broadcasts at every step; no all-pairs work anywhere."""
+    iters = lloyd_iters if lloyd_iters is not None else (1 if refine else 0)
     emb = _emb_double(_read(spark, sf_dir, "embeddings"))
     n = emb.count()
     step = max(n // IVF_K, 1)
@@ -1226,9 +1235,11 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, refine: bool = True):
         )
     )
     assigned = _ivf_assign(emb, cent)
-    if refine:
-        # one Lloyd iteration: every seed centroid keeps at least its own
-        # seed vector, so no list can empty out
+    for _ in range(iters):
+        # Lloyd iteration: a centroid with an emptied list keeps no rows in
+        # the mean aggregate and simply drops out (cannot happen on the
+        # first iteration -- every seed centroid holds at least its own
+        # seed vector); assignments re-spread over the survivors
         cent = (
             assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
             .groupBy("cid", "pos")
@@ -1242,13 +1253,19 @@ def _ivf_assignments(spark: SparkSession, sf_dir: str, refine: bool = True):
 
 
 def q_ann_ivf(
-    spark: SparkSession, sf_dir: str, refine: bool = True
+    spark: SparkSession,
+    sf_dir: str,
+    refine: bool = True,
+    lloyd_iters: int | None = None,
 ) -> DataFrame:
     """IVF top-K: probe the IVF_NPROBE nearest centroid lists per query,
     exact cosine inside them (the scale path alongside ann_lsh; brute
     topk_cosine is the baseline). refine=False keeps the raw seeded-sample
-    centroids (test baseline for the k-means refinement)."""
-    _, cent, assigned = _ivf_assignments(spark, sf_dir, refine=refine)
+    centroids; lloyd_iters overrides the refinement iteration count (the
+    CORRECTNESS oracle mirrors exactly one, so the default stays 1)."""
+    _, cent, assigned = _ivf_assignments(
+        spark, sf_dir, refine=refine, lloyd_iters=lloyd_iters
+    )
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )

@@ -275,8 +275,8 @@ def test_ivf_refined_centroids_beat_seeded_baseline(spark):
     n_q = brute.select("query_id").distinct().count()
 
     stats = {}
-    for refine in (False, True):
-        _, cent, assigned = EQ._ivf_assignments(spark, sf_dir, refine=refine)
+    for iters in (0, 1, 2):
+        _, cent, assigned = EQ._ivf_assignments(spark, sf_dir, lloyd_iters=iters)
         dist = (
             V.dot("emb", "cemb") * F.lit(-2.0)
             + V.dot("cemb", "cemb")
@@ -290,14 +290,19 @@ def test_ivf_refined_centroids_beat_seeded_baseline(spark):
         )
         hits = (
             brute.join(
-                EQ.q_ann_ivf(spark, sf_dir, refine=refine).select(
+                EQ.q_ann_ivf(spark, sf_dir, lloyd_iters=iters).select(
                     "query_id", "neighbor_id"
                 ),
                 ["query_id", "neighbor_id"],
             ).count()
         )
-        stats[refine] = (inertia, hits / (n_q * EQ.TOPK))
+        stats[iters] = (inertia, hits / (n_q * EQ.TOPK))
     brute.unpersist()
 
-    assert stats[True][0] < stats[False][0] * 0.75, stats  # >=25% inertia cut
-    assert stats[True][1] > stats[False][1], stats
+    # Lloyd property: quantization error is monotone non-increasing in the
+    # iteration count (tiny tolerance for the 6dp centroid rounding), and
+    # the first iteration is a real cut
+    assert stats[1][0] < stats[0][0] * 0.75, stats
+    assert stats[2][0] <= stats[1][0] * 1.001, stats
+    # recall@K is monotone over 0/1/2 on this seeded corpus
+    assert stats[0][1] <= stats[1][1] <= stats[2][1], stats
