@@ -8,6 +8,15 @@ Commands:
                                           (manifest-mode warehouse by default:
                                           atomic commits, file-pruned deletes)
   delete --warehouse DIR --stage S --uids a,b   remove rows from a stage
+  stream-dedup --clips DIR --out DIR --checkpoint DIR
+                                          incremental dedup over a clips
+                                          directory via Structured Streaming
+                                          (availableNow: drains what exists,
+                                          then stops; re-run to pick up new
+                                          files -- per-batch cost is
+                                          O(batch), see streaming/ingest.py)
+  reconcile --out DIR                     compact streaming state to exact
+                                          batch semantics (stop-gram cap)
   search --docs PARQUET --vector CSV      one LSH search over a documents table
   stats                                   print the false-negative curve
 """
@@ -39,6 +48,23 @@ def main(argv=None) -> int:
         help="warehouse table format (default: manifest mode -- atomic "
         "commits + file-pruned deletes)",
     )
+
+    st = sub.add_parser("stream-dedup", help="incremental dedup via streaming")
+    st.add_argument("--clips", required=True)
+    st.add_argument("--out", required=True)
+    st.add_argument("--checkpoint", required=True)
+    st.add_argument("--max-files", type=int, default=4,
+                    help="files per microbatch (maxFilesPerTrigger)")
+    st.add_argument("--threshold", type=float, default=0.85)
+    st.add_argument("--expected-corpus-rows", type=int, default=0,
+                    help="sizes the state-table partition counts (0 = sandbox floors)")
+    st.add_argument("--timeout", type=int, default=0,
+                    help="awaitTermination seconds (0 = wait until drained)")
+
+    rp = sub.add_parser("reconcile", help="compact streaming state to batch semantics")
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--threshold", type=float, default=0.85)
+    rp.add_argument("--expected-corpus-rows", type=int, default=0)
 
     xp = sub.add_parser("delete", help="remove uids from a persisted stage")
     xp.add_argument("--warehouse", required=True)
@@ -104,6 +130,32 @@ def main(argv=None) -> int:
             )
             n = res.clusters.count()
             print(json.dumps({"clusters_rows": n, "stages": wh.metrics()}, indent=2))
+        elif args.cmd == "stream-dedup":
+            from go_lsh_spark.streaming.ingest import (
+                read_clip_stream,
+                start_incremental_dedup,
+            )
+
+            cfg = DedupConfig(
+                threshold=args.threshold,
+                expected_corpus_rows=args.expected_corpus_rows,
+            )
+            stream = read_clip_stream(spark, args.clips, max_files=args.max_files)
+            q = start_incremental_dedup(stream, cfg, args.out, args.checkpoint)
+            if args.timeout:
+                q.awaitTermination(args.timeout)
+            else:
+                q.awaitTermination()
+            n = spark.read.parquet(f"{args.out}/clusters").count()
+            print(json.dumps({"clusters_rows": n, "out": args.out}))
+        elif args.cmd == "reconcile":
+            from go_lsh_spark.streaming.ingest import reconcile
+
+            cfg = DedupConfig(
+                threshold=args.threshold,
+                expected_corpus_rows=args.expected_corpus_rows,
+            )
+            print(json.dumps(reconcile(spark, args.out, cfg)))
         elif args.cmd == "delete":
             from go_lsh_spark.sources.catalog import Warehouse
 

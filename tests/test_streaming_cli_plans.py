@@ -36,6 +36,34 @@ def test_streaming_signature_sink(spark, tmp_path):
     assert by_src.get("winnow", 0) > 0
 
 
+def test_cli_stream_dedup_and_reconcile(spark, tmp_path, capsys):
+    """The streaming path has a production entry point: `stream-dedup`
+    drains a clips directory incrementally (availableNow) and `reconcile`
+    compacts the state to batch semantics."""
+    from go_lsh_spark import cli
+
+    res = synth_clips(n_clips=16, seed=21)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    clips.repartition(3).write.parquet(src)
+
+    rc = cli.main(
+        ["stream-dedup", "--clips", src, "--out", str(tmp_path / "out"),
+         "--checkpoint", str(tmp_path / "ck"), "--max-files", "1"]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["clusters_rows"] == 16
+
+    rc = cli.main(["reconcile", "--out", str(tmp_path / "out")])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert set(stats) == {
+        "over_cap_fps", "suspect_pairs", "dropped_pairs", "reclustered_clusters"
+    }
+    assert spark.read.parquet(str(tmp_path / "out" / "clusters")).count() == 16
+
+
 def test_cli_stats_and_synth(tmp_path, capsys):
     from go_lsh_spark import cli
 
