@@ -80,6 +80,20 @@ def _hash_part(col, n_parts: int) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(n_parts)).cast("int")
 
 
+def _has_parquet(path: str) -> bool:
+    """True if the directory holds at least one data file. A partitioned
+    write of an EMPTY DataFrame leaves only _SUCCESS behind, and a later
+    spark.read.parquet on that directory fails schema inference -- treat
+    such a table as not-yet-created."""
+    if not os.path.exists(path):
+        return False
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            if fn.endswith(".parquet") and not fn.startswith(("_", ".")):
+                return True
+    return False
+
+
 def _cpart(col, n_parts: int = 64) -> F.Column:
     """clusters-table partition of a clip_id. Rows never move partitions
     (keyed by immutable clip_id, not the mutable cluster_id), so a dynamic
@@ -264,7 +278,7 @@ def update_winnow_df(
         "hash", F.col("delta").cast("long").alias("delta")
     ).withColumn("_dfpart", _hash_part(F.col("hash"), n_parts))
 
-    if not os.path.exists(path):
+    if not _has_parquet(path):
         first = bc.select(
             "hash",
             F.col("delta").alias("df"),
@@ -273,10 +287,11 @@ def update_winnow_df(
             "_dfpart",
         )
         first.write.partitionBy("_dfpart").mode("overwrite").parquet(path)
-        return (
-            spark.read.parquet(path)
-            .filter(F.col("df") > max_df)
-            .select(F.lit("winnow").alias("src"), F.lit(0).alias("band"), "hash")
+        # capped set straight from the batch counts -- reading the table
+        # back would fail schema inference if this batch had no winnow rows
+        # (empty partitioned write leaves only _SUCCESS)
+        return bc.filter(F.col("delta") > max_df).select(
+            F.lit("winnow").alias("src"), F.lit(0).alias("band"), "hash"
         )
 
     touched = [r["_dfpart"] for r in bc.select("_dfpart").distinct().collect()]
@@ -716,15 +731,20 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
         meta["cluster_parts"], meta["key_parts"], meta["sig_parts"],
     )
     cap = cfg.winnow_max_df
+    if not _has_parquet(f"{out_path}/winnow_df"):
+        return {"over_cap_fps": 0, "suspect_pairs": 0, "dropped_pairs": 0,
+                "reclustered_clusters": 0}
     over = (
         spark.read.parquet(f"{out_path}/winnow_df")
         .filter(F.col("df") > cap)
         .select("hash")
     )
     over_hashes = [r["hash"] for r in over.collect()]  # stop-gram set: tiny
-    if not over_hashes:
-        return {"over_cap_fps": 0, "suspect_pairs": 0, "dropped_pairs": 0,
-                "reclustered_clusters": 0}
+    if not over_hashes or not _has_parquet(f"{out_path}/verified_pairs"):
+        # nothing over the cap, or no pair was ever verified (then no merge
+        # ever happened and every cluster is already batch-exact)
+        return {"over_cap_fps": len(over_hashes), "suspect_pairs": 0,
+                "dropped_pairs": 0, "reclustered_clusters": 0}
     over_df = spark.createDataFrame([(h,) for h in over_hashes], "hash long")
 
     # clips carrying an over-cap fingerprint: pruned read of the buckets
@@ -984,6 +1004,11 @@ def start_incremental_dedup(
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            # a 0-row microbatch (empty input file / replay edge) would
+            # write file-less table partitions that later reads can't
+            # schema-infer; it also has no work to do
+            return
         t0 = time.time()
         shuf0 = _shuffle_totals(spark)
         planes = PlaneSet(cfg.lsh_config())

@@ -376,6 +376,111 @@ def test_streaming_state_reads_prune(spark, tmp_path):
     assert "_spart" in plan.split("PartitionFilters")[1][:200]
 
 
+def test_winnow_df_empty_first_batch_and_empty_microbatch(spark, tmp_path):
+    """Degenerate-input robustness: a first batch with NO winnow rows must
+    not leave a schema-less winnow_df behind (empty partitioned writes are
+    _SUCCESS-only), and a 0-row microbatch must be a no-op instead of
+    writing file-less table partitions."""
+    from go_lsh_spark.streaming.ingest import (
+        read_clip_stream,
+        start_incremental_dedup,
+        update_winnow_df,
+    )
+
+    out = str(tmp_path / "st")
+    empty = spark.createDataFrame([], "hash long, delta long")
+    capped = update_winnow_df(spark, out, empty, 0, n_parts=8, max_df=4)
+    assert capped.count() == 0
+    b1 = spark.createDataFrame([(7, 2)], "hash long, delta long")
+    capped = update_winnow_df(spark, out, b1, 1, n_parts=8, max_df=4)
+    assert capped.count() == 0
+    got = {r.hash: r.df for r in spark.read.parquet(f"{out}/winnow_df").collect()}
+    assert got == {7: 2}
+
+    # an EMPTY parquet input file -> a 0-row microbatch inside the stream
+    res = synth_clips(n_clips=8, seed=3)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    clips.repartition(2).write.parquet(src)
+    clips.filter(F.lit(False)).coalesce(1).write.mode("append").parquet(src)
+
+    cfg = DedupConfig()
+    q = start_incremental_dedup(
+        read_clip_stream(spark, src, max_files=1),
+        cfg,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+    )
+    q.awaitTermination(300)
+    assert (
+        spark.read.parquet(str(tmp_path / "out" / "clusters")).count() == 8
+    )
+
+
+def test_cluster_update_replay_after_partial_crash(spark, tmp_path):
+    """The cluster_index is written BEFORE the clusters table so a crash
+    between the two leaves the index a harmless superset. Simulate exactly
+    that state (index updated, clusters rolled back) and replay: the batch
+    must converge to the same assignments as the uninterrupted run."""
+    import shutil
+
+    from go_lsh_spark.streaming.ingest import _update_clusters
+
+    root = str(tmp_path / "st")
+    clips1 = spark.createDataFrame([(c,) for c in "abcd"], "clip_id string")
+    edges1 = spark.createDataFrame([("a", "b")], "clip_id_a string, clip_id_b string")
+    _update_clusters(spark, root, clips1, edges1)
+
+    # snapshot state before batch 2
+    shutil.copytree(f"{root}/clusters", str(tmp_path / "clusters_pre"))
+    clips2 = spark.createDataFrame([("e",)], "clip_id string")
+    edges2 = spark.createDataFrame(
+        [("b", "c"), ("d", "e")], "clip_id_a string, clip_id_b string"
+    )
+    _update_clusters(spark, root, clips2, edges2)
+    expected = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    assert expected == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    # crash simulation: clusters rolled back to pre-batch-2, index KEEPS the
+    # batch-2 update (the order the code writes them in)
+    shutil.rmtree(f"{root}/clusters")
+    shutil.copytree(str(tmp_path / "clusters_pre"), f"{root}/clusters")
+    _update_clusters(spark, root, clips2, edges2)  # replay
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    assert got == expected
+    # index facts cover every (cluster, partition) that holds rows
+    truth = {
+        (r.cluster_id, r._cpart)
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    idx = {
+        (r.cluster_id, r.cpart)
+        for r in spark.read.parquet(f"{root}/cluster_index").collect()
+    }
+    assert truth <= idx
+
+
+def test_reconcile_without_verified_pairs_is_noop(spark, tmp_path):
+    """reconcile on streaming state that never verified a pair (or never saw
+    a winnow row) must return zeros, not crash on schema-less tables."""
+    from go_lsh_spark.streaming.ingest import ensure_state_meta, reconcile
+
+    out = str(tmp_path / "st")
+    cfg = DedupConfig()
+    ensure_state_meta(out, cfg)
+    stats = reconcile(spark, out, cfg)
+    assert stats == {
+        "over_cap_fps": 0, "suspect_pairs": 0, "dropped_pairs": 0,
+        "reclustered_clusters": 0,
+    }
+
+
 def test_state_meta_partition_mismatch_fails_loudly(spark, tmp_path):
     """Partition counts are baked into the on-disk layout: reopening an
     existing streaming output with different counts must raise, not
