@@ -36,6 +36,7 @@ RAW_GRAY8 = "raw_gray8"          # width*height bytes, row-major, 8-bit gray
 RAW_FRAMES_GRAY8 = "raw_frames_gray8"  # n_frames consecutive raw_gray8 planes
 PNG = "png"                      # real stdlib-zlib decoder below
 JPEG = "jpeg"                    # real baseline decoder in functions/jpeg.py
+MJPEG_AVI = "mjpeg_avi"          # real RIFF/AVI demux + per-frame JPEG (functions/avi.py)
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -223,8 +224,23 @@ def decode_video_frames(
         if arr.size != width * height * n_frames:
             raise ValueError("raw_frames_gray8 size mismatch")
         return arr.reshape(n_frames, height, width)
-    # STUB: ffmpeg-backed demux/decoding plugs in here on a real cluster.
-    raise NotImplementedError(f"video codec {codec!r}: only {RAW_FRAMES_GRAY8} here")
+    if codec == MJPEG_AVI:
+        # real container demux: RIFF/AVI walk + per-frame baseline JPEG
+        # (functions/avi.py; every MJPEG frame is an independent T.81 image)
+        from go_lsh_spark.functions.avi import decode_avi_mjpeg  # noqa: PLC0415
+
+        frames = decode_avi_mjpeg(raw)
+        if frames.shape != (n_frames, height, width):
+            raise ValueError(
+                f"mjpeg_avi shape mismatch: {frames.shape} != "
+                f"({n_frames}, {height}, {width})"
+            )
+        return frames
+    # STUB: ffmpeg-backed demux/decoding (h264/vp9/av1 -- inter-frame codecs
+    # need a real entropy+motion engine) plugs in here on a real cluster.
+    raise NotImplementedError(
+        f"video codec {codec!r}: only {RAW_FRAMES_GRAY8}/{MJPEG_AVI} here"
+    )
 
 
 def image_feature_frame(

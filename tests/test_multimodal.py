@@ -73,6 +73,80 @@ def test_video_frame_features_spark(spark):
     assert all(len(r.features) == 16 for r in rows_out)
 
 
+# -- AVI (RIFF container, MJPEG frames) --------------------------------------
+
+
+def _smooth_frames(n=5, h=24, w=32, seed=6):
+    """Low-frequency frames (JPEG-friendly, like _smooth_image)."""
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    out = np.empty((n, h, w), np.uint8)
+    for i in range(n):
+        a, b = rng.uniform(0.1, 0.5, 2)
+        img = 128 + 80 * np.sin(a * x + i) * np.cos(b * y - i)
+        out[i] = np.clip(np.round(img), 0, 255)
+    return out
+
+
+def test_avi_mjpeg_roundtrip():
+    """RIFF/AVI container roundtrip: header fields, movi chunk walk, idx1
+    cross-check, and per-frame baseline-JPEG fidelity."""
+    from go_lsh_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = _smooth_frames()
+    raw = encode_avi_mjpeg(frames, quality=90)
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    dec = decode_avi_mjpeg(raw)
+    assert dec.shape == frames.shape
+    err = np.abs(dec.astype(int) - frames.astype(int)).max()
+    assert err <= 12, err  # q90 baseline JPEG tolerance (matches jpeg tests)
+
+
+def test_avi_mjpeg_through_spark_video_features(spark):
+    """The real container path rides the SAME Spark plumbing as raw frames:
+    video_frame_features over codec='mjpeg_avi' must sample and featurize
+    identically to the equivalent raw-frame rows (bit-identical decode
+    modulo JPEG loss -> compare against locally decoded frames exactly)."""
+    from go_lsh_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from go_lsh_spark.functions.multimodal import MJPEG_AVI, image_features
+
+    vids = {f"v{i}": _smooth_frames(n=6, seed=10 + i) for i in range(2)}
+    rows = [
+        (vid, bytes(encode_avi_mjpeg(f, quality=90)), 32, 24, 6, 25.0, MJPEG_AVI)
+        for vid, f in vids.items()
+    ]
+    df = spark.createDataFrame(rows, VIDEO_SCHEMA)
+    out = video_frame_features(df, k_frames=3, grid=4).collect()
+    assert len(out) == 6  # 2 videos x 3 sampled frames
+    # exact agreement with the local decode of the same bytes
+    for r in out:
+        local = decode_avi_mjpeg(
+            bytes(encode_avi_mjpeg(vids[r.video_id], quality=90))
+        )
+        expect = image_features(local[r.frame_index], 4).tolist()
+        assert r.features == expect
+
+
+def test_avi_corrupt_streams_raise_cleanly():
+    from go_lsh_spark.functions.avi import decode_avi_mjpeg, encode_avi_mjpeg
+
+    frames = _smooth_frames(n=3)
+    raw = encode_avi_mjpeg(frames)
+    with pytest.raises(ValueError, match="not an AVI"):
+        decode_avi_mjpeg(b"RIFX" + raw[4:])
+    with pytest.raises(ValueError, match="truncated AVI"):
+        decode_avi_mjpeg(raw[: len(raw) // 2])
+    # header/frame-count mismatch: patch avih dwTotalFrames (offset: RIFF(12)
+    # + LIST hdr(12) + avih hdr(8) + 16 bytes into avih payload)
+    bad = bytearray(raw)
+    import struct as _s
+
+    i = bad.find(b"avih") + 8 + 16
+    _s.pack_into("<I", bad, i, 99)
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi_mjpeg(bytes(bad))
+
+
 # -- PNG (real stdlib-zlib codec) --------------------------------------------
 
 
