@@ -66,6 +66,16 @@ def main(argv=None) -> int:
     rp.add_argument("--threshold", type=float, default=0.85)
     rp.add_argument("--expected-corpus-rows", type=int, default=0)
 
+    cp = sub.add_parser(
+        "compact", help="fold committed per-batch sink partitions (file-count bound)"
+    )
+    cp.add_argument("--out", required=True)
+    cp.add_argument(
+        "--through-batch", type=int, default=-1,
+        help="fold batches <= this id; -1 = all existing (safe after the "
+        "availableNow stream has drained -- every batch is then committed)",
+    )
+
     xp = sub.add_parser("delete", help="remove uids from a persisted stage")
     xp.add_argument("--warehouse", required=True)
     xp.add_argument("--stage", required=True)
@@ -156,6 +166,19 @@ def main(argv=None) -> int:
                 expected_corpus_rows=args.expected_corpus_rows,
             )
             print(json.dumps(reconcile(spark, args.out, cfg)))
+        elif args.cmd == "compact":
+            from pyspark.sql import functions as F
+
+            from go_lsh_spark.streaming.ingest import compact_appends
+
+            through = args.through_batch
+            if through < 0:
+                through = (
+                    spark.read.parquet(f"{args.out}/buckets")
+                    .agg(F.max("_batch_id"))
+                    .collect()[0][0]
+                )
+            print(json.dumps(compact_appends(spark, args.out, int(through))))
         elif args.cmd == "delete":
             from go_lsh_spark.sources.catalog import Warehouse
 

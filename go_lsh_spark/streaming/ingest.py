@@ -210,6 +210,117 @@ def start_signature_sink(
     )
 
 
+COMPACTION = "_compaction.json"
+
+
+def _read_compaction(table_path: str) -> dict | None:
+    p = os.path.join(table_path, COMPACTION)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _live_rows(table_path: str) -> F.Column:
+    """Predicate selecting exactly-once rows of a compactable append sink:
+    the current compaction generation (stored at _batch_id = -generation)
+    plus every batch after the compaction watermark. Batch partitions at or
+    below the watermark may still exist on disk (cleanup is lazy, see
+    compact_appends) -- this filter is what makes that safe."""
+    comp = _read_compaction(table_path)
+    if comp is None:
+        return F.col("_batch_id") >= 0
+    return (F.col("_batch_id") == -comp["generation"]) | (
+        F.col("_batch_id") > comp["compacted_through"]
+    )
+
+
+def compact_appends(
+    spark: SparkSession, out_path: str, through_batch: int
+) -> dict:
+    """Fold the buckets/signatures sinks' per-batch partitions at or below
+    `through_batch` into one compacted generation per table -- the LSM
+    compaction that keeps file counts bounded as batches accumulate (a
+    10^12-clip stream would otherwise grow O(batches x key partitions)
+    small files).
+
+    `through_batch` MUST be a batch the streaming checkpoint has committed
+    (Structured Streaming only ever replays the latest uncommitted batch,
+    so committed partitions are immutable and safe to fold).
+
+    Crash-safe by generation + atomic sidecar commit:
+      1. rows of the previous generation plus batches in
+         (previous watermark, through_batch] are rewritten into a NEW
+         generation partition (_batch_id = -(g+1)); a dynamic overwrite
+         touches nothing else.
+      2. the `_compaction.json` sidecar swap (os.replace) is the single
+         commit point readers observe (_live_rows).
+      3. superseded batch/generation directories are removed AFTER the
+         commit; a crash anywhere leaves either the old or the new
+         generation fully live and at worst some unread garbage
+         directories, never duplicates or loss.
+
+    Idempotent: re-running with the same through_batch folds the current
+    generation into a fresh one (a rename, not a double-count).
+    Returns per-table rows + file counts.
+    """
+    stats = {}
+    for table, secondary in (("buckets", "_kpart"), ("signatures", "_spart")):
+        path = f"{out_path}/{table}"
+        if not _has_parquet(path):
+            continue
+        comp = _read_compaction(path)
+        gen = (comp["generation"] if comp else 0) + 1
+        prev_thru = comp["compacted_through"] if comp else -1
+        df = spark.read.parquet(path)
+        fold = df.filter(
+            (
+                (F.col("_batch_id") > prev_thru)
+                & (F.col("_batch_id") <= through_batch)
+            )
+            | (F.col("_batch_id") == -(gen - 1))
+        )
+        n_parts = df.select(secondary).distinct().count()
+        (
+            fold.withColumn("_batch_id", F.lit(-gen))
+            # one file per secondary partition: repartition ON the secondary
+            # key so the write produces n_parts consolidated files
+            .repartition(max(int(n_parts), 1), secondary)
+            .write.partitionBy("_batch_id", secondary)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+        # atomic commit point
+        tmp = os.path.join(path, COMPACTION + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(
+                {"generation": gen, "compacted_through": through_batch,
+                 "committed_at": time.time()},
+                f,
+            )
+        os.replace(tmp, os.path.join(path, COMPACTION))
+        # lazy cleanup of superseded directories (idempotent; readers
+        # already ignore them via _live_rows)
+        import shutil  # noqa: PLC0415
+
+        for d in os.listdir(path):
+            if not d.startswith("_batch_id="):
+                continue
+            b = int(d.split("=", 1)[1])
+            if (0 <= b <= through_batch) or (b < 0 and b != -gen):
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        live = spark.read.parquet(path).filter(_live_rows(path))
+        n_files = sum(
+            1
+            for root, _dirs, files in os.walk(path)
+            for fn in files
+            if fn.endswith(".parquet")
+        )
+        stats[table] = {"rows": live.count(), "files": n_files, "generation": gen}
+    return stats
+
+
 def read_winnow_partitions(
     spark: SparkSession, out_path: str, touched: list[int]
 ) -> DataFrame:
@@ -227,10 +338,16 @@ def read_old_buckets(
     """Accumulated buckets MINUS this batch, pruned to the key partitions
     the batch can actually join with -- both predicates are literal
     partition filters, so the scan never reads a bucket row this batch's
-    keys cannot match."""
+    keys cannot match. _live_rows keeps compacted-away batch directories
+    (lazy cleanup) out of the read."""
+    path = f"{out_path}/buckets"
     return (
-        spark.read.parquet(f"{out_path}/buckets")
-        .filter((F.col("_batch_id") != batch_id) & F.col("_kpart").isin(kparts))
+        spark.read.parquet(path)
+        .filter(
+            _live_rows(path)
+            & (F.col("_batch_id") != batch_id)
+            & F.col("_kpart").isin(kparts)
+        )
         .drop("_batch_id", "_kpart")
     )
 
@@ -240,9 +357,10 @@ def read_pair_signatures(
 ) -> DataFrame:
     """Accumulated signatures pruned to the partitions holding this batch's
     candidate-pair members (an index probe, not a corpus scan)."""
+    path = f"{out_path}/signatures"
     return (
-        spark.read.parquet(f"{out_path}/signatures")
-        .filter(F.col("_spart").isin(sparts))
+        spark.read.parquet(path)
+        .filter(_live_rows(path) & F.col("_spart").isin(sparts))
         .drop("_batch_id", "_spart")
     )
 
@@ -761,7 +879,11 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
     ]
     suspects = (
         spark.read.parquet(f"{out_path}/buckets")
-        .filter(F.col("_kpart").isin(over_kparts) & (F.col("src") == "winnow"))
+        .filter(
+            _live_rows(f"{out_path}/buckets")
+            & F.col("_kpart").isin(over_kparts)
+            & (F.col("src") == "winnow")
+        )
         .join(F.broadcast(over_df), "hash", "left_semi")
         .select("clip_id")
         .distinct()

@@ -481,6 +481,76 @@ def test_reconcile_without_verified_pairs_is_noop(spark, tmp_path):
     }
 
 
+@pytest.mark.slow
+def test_compact_appends_preserves_state_and_stream_resumes(spark, tmp_path):
+    """LSM compaction of the per-batch append sinks: folding committed
+    batches into one generation must (a) preserve the live row set exactly,
+    (b) cut the file count, (c) leave superseded directories harmless
+    (readers filter by generation, cleanup is lazy), and (d) let the stream
+    RESUME on top of compacted state and still match the batch pipeline."""
+    import shutil
+
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.streaming.ingest import (
+        _live_rows,
+        compact_appends,
+        read_clip_stream,
+        start_incremental_dedup,
+    )
+
+    res = synth_clips(n_clips=24, seed=7)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    first, second = clips.filter(F.col("clip_id") < "clip_000016"), clips.filter(
+        F.col("clip_id") >= "clip_000016"
+    )
+    first.repartition(4).write.parquet(src)
+
+    cfg = DedupConfig()
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = start_incremental_dedup(read_clip_stream(spark, src, 1), cfg, out, ck)
+    q.awaitTermination(300)
+
+    bpath = f"{out}/buckets"
+    pre = {
+        r: spark.read.parquet(f"{out}/{r}").filter(_live_rows(f"{out}/{r}")).count()
+        for r in ("buckets", "signatures")
+    }
+    through = (
+        spark.read.parquet(bpath).agg(F.max("_batch_id")).collect()[0][0]
+    )
+    # keep one batch dir aside to simulate lazy-cleanup garbage surviving
+    some_dir = next(
+        d for d in sorted(__import__("os").listdir(bpath)) if d.startswith("_batch_id=")
+    )
+    shutil.copytree(f"{bpath}/{some_dir}", str(tmp_path / "garbage"))
+
+    stats = compact_appends(spark, out, int(through))
+    assert stats["buckets"]["rows"] == pre["buckets"]
+    assert stats["signatures"]["rows"] == pre["signatures"]
+
+    # superseded dir restored after commit = crash-before-cleanup garbage;
+    # the generation filter must keep it invisible
+    shutil.copytree(str(tmp_path / "garbage"), f"{bpath}/{some_dir}")
+    assert (
+        spark.read.parquet(bpath).filter(_live_rows(bpath)).count()
+        == pre["buckets"]
+    )
+
+    # stream resumes over the compacted state: later dups against
+    # already-compacted clips must still be found
+    second.repartition(2).write.mode("append").parquet(src)
+    q = start_incremental_dedup(read_clip_stream(spark, src, 1), cfg, out, ck)
+    q.awaitTermination(300)
+    inc = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    batch = dedup_pipeline(spark, clips, cfg)
+    exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
+    assert inc == exp
+
+
 def test_state_meta_partition_mismatch_fails_loudly(spark, tmp_path):
     """Partition counts are baked into the on-disk layout: reopening an
     existing streaming output with different counts must raise, not
