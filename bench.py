@@ -36,6 +36,7 @@ r3 `audio_dedup_e2e` regression post-mortem (13.56s -> 14.97s, r3 verdict
 from __future__ import annotations
 
 import json
+import multiprocessing as mp
 import os
 import sys
 import time
@@ -43,6 +44,71 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 N_CLIPS_BENCH = int(os.environ.get("BENCH_N_CLIPS", "2000"))
+
+# ---- host-burn gating (r4 verdict #1) --------------------------------------
+# BENCH_r04.json shipped a 2x headline "regression" that was actually a
+# co-tenant storm window (all three ann_lsh runs 29-41s vs ~3.4s steady
+# state) -- best-of-3 cannot save a window where every run is degraded. The
+# scaling gate (tools/scaling_bench.py) already refuses such windows by
+# measuring a pure-python multiprocessing burn first; this is the same
+# protocol for the headline bench: measure the burn, compare against the
+# calibrated healthy-window throughput, and RETRY the window until it is
+# healthy (or run out of retries, in which case the degradation is recorded
+# in the output JSON so the artifact can never silently misreport a code
+# regression again).
+#
+# Calibration: the same burn kernel measured 9.81 units/s at 8 procs in the
+# healthy window that produced the committed r4 scaling gate
+# (BENCH/BASELINE.md: burn 2.34 -> 9.81 units/s, 2->8 efficiency 1.046).
+BURN_REF_UNITS_PER_SEC = 9.8
+BURN_PROCS = 8
+BURN_MIN_EFF = float(os.environ.get("BENCH_BURN_MIN", "0.85"))
+BURN_MAX_TRIES = int(os.environ.get("BENCH_BURN_TRIES", "5"))
+BURN_RETRY_SECS = int(os.environ.get("BENCH_BURN_RETRY_SECS", "60"))
+
+
+def _burn_task(_):
+    x = 0
+    for i in range(12_000_000):
+        x += i * i % 7
+    return x
+
+
+def measure_host_burn(procs: int = BURN_PROCS) -> float:
+    """Units/s of the scaling_bench burn kernel at `procs` workers (~10s).
+    Healthy windows measure ~BURN_REF_UNITS_PER_SEC at 8 procs on this VM;
+    co-tenant storms cut it to a fraction -- and cut every Spark timing in
+    the same session by a similar factor."""
+    t0 = time.time()
+    with mp.Pool(procs) as p:
+        p.map(_burn_task, range(procs * 4))
+    return procs * 4 / (time.time() - t0)
+
+
+def wait_for_healthy_window() -> dict:
+    """Measure the host burn; below BURN_MIN_EFF of the calibrated healthy
+    throughput, sleep and re-measure up to BURN_MAX_TRIES times. Returns the
+    record to embed in the bench JSON (the artifact of record must carry the
+    evidence either way)."""
+    attempts = []
+    for i in range(BURN_MAX_TRIES):
+        units = measure_host_burn()
+        eff = units / BURN_REF_UNITS_PER_SEC
+        attempts.append(round(eff, 3))
+        if eff >= BURN_MIN_EFF:
+            break
+        if i < BURN_MAX_TRIES - 1:
+            print(
+                f"host burn {eff:.3f} < {BURN_MIN_EFF} (storm window); "
+                f"retrying in {BURN_RETRY_SECS}s",
+                file=sys.stderr,
+            )
+            time.sleep(BURN_RETRY_SECS)
+    return {
+        "host_burn_efficiency": attempts[-1],
+        "host_burn_attempts": attempts,
+        "degraded_window": attempts[-1] < BURN_MIN_EFF,
+    }
 
 
 def run_dedup(spark, n_clips: int, corpus_dir: str | None = None) -> tuple[float, int]:
@@ -100,6 +166,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    # gate on a healthy host window BEFORE any timing (r4 verdict #1)
+    burn = wait_for_healthy_window()
+    print(f"host burn: {burn}", file=sys.stderr)
 
     from go_lsh_spark.session import build_session
 
@@ -159,6 +229,9 @@ def main() -> None:
     runs["audio_dedup_e2e"] = dedup_runs
     timings["audio_dedup_e2e"] = dedup_secs
 
+    # re-measure AFTER the timed loop: a storm that starts mid-bench is
+    # invisible to the pre-gate; pre+post burn bracket the whole window
+    burn_post = measure_host_burn()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -166,6 +239,10 @@ def main() -> None:
                 "metric": "headline_total_sec",
                 "value": total,
                 "unit": "sec",
+                **burn,
+                "host_burn_efficiency_post": round(
+                    burn_post / BURN_REF_UNITS_PER_SEC, 3
+                ),
                 "queries": timings,
                 "runs": runs,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -150,13 +150,27 @@ def main(argv=None) -> int:
                 threshold=args.threshold,
                 expected_corpus_rows=args.expected_corpus_rows,
             )
+            from go_lsh_spark.streaming.ingest import _has_parquet
+
             stream = read_clip_stream(spark, args.clips, max_files=args.max_files)
             q = start_incremental_dedup(stream, cfg, args.out, args.checkpoint)
             if args.timeout:
-                q.awaitTermination(args.timeout)
+                # awaitTermination(timeout) returns False while the query is
+                # still running -- ignoring that and reading the tables would
+                # observe a half-applied batch, and spark.stop() would then
+                # kill the in-flight batch without surfacing its error (r4
+                # ADVICE #5). Stop the query, wait for it to wind down, and
+                # surface any failure before reading state.
+                if not q.awaitTermination(args.timeout):
+                    q.stop()
+                    q.awaitTermination()
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
             else:
                 q.awaitTermination()
-            n = spark.read.parquet(f"{args.out}/clusters").count()
+            cpath = f"{args.out}/clusters"
+            n = spark.read.parquet(cpath).count() if _has_parquet(cpath) else 0
             print(json.dumps({"clusters_rows": n, "out": args.out}))
         elif args.cmd == "reconcile":
             from go_lsh_spark.streaming.ingest import reconcile
@@ -169,16 +183,42 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             from pyspark.sql import functions as F
 
-            from go_lsh_spark.streaming.ingest import compact_appends
+            from go_lsh_spark.streaming.ingest import _has_parquet, compact_appends
+
+            from go_lsh_spark.streaming.ingest import _read_compaction
 
             through = args.through_batch
             if through < 0:
-                through = (
-                    spark.read.parquet(f"{args.out}/buckets")
-                    .agg(F.max("_batch_id"))
-                    .collect()[0][0]
-                )
-            print(json.dumps(compact_appends(spark, args.out, int(through))))
+                # derive from the newest LIVE batch: negative ids are
+                # compacted generations, and folding "through" one of those
+                # would regress the watermark and resurrect lazily-cleaned
+                # batch ranges (r4 ADVICE #3). Floored at the committed
+                # watermarks so leftover batch dirs from a crashed cleanup
+                # (all <= watermark) can't derive a regressing value either;
+                # an empty/fully-compacted table has nothing new to fold.
+                bpath = f"{args.out}/buckets"
+                live_max = None
+                if _has_parquet(bpath):
+                    live_max = (
+                        spark.read.parquet(bpath)
+                        .filter(F.col("_batch_id") >= 0)
+                        .agg(F.max("_batch_id"))
+                        .collect()[0][0]
+                    )
+                marks = [
+                    c["compacted_through"]
+                    for c in (
+                        _read_compaction(f"{args.out}/{t}")
+                        for t in ("buckets", "signatures")
+                    )
+                    if c
+                ]
+                candidates = [v for v in [live_max, *marks] if v is not None]
+                through = max(candidates) if candidates else None
+            if through is None:
+                print(json.dumps({}))
+            else:
+                print(json.dumps(compact_appends(spark, args.out, int(through))))
         elif args.cmd == "delete":
             from go_lsh_spark.sources.catalog import Warehouse
 

@@ -55,12 +55,20 @@ def _strip_uri(p: str) -> str:
     Parsed with urlparse rather than hand-stripped slashes: a
     `file://host/x` URI (non-empty authority) must be rejected, not silently
     mapped to /host/x -- file-pruned deletes os.remove() these paths, and on
-    a non-local Hadoop FS that would target the wrong file (r3 ADVICE)."""
+    a non-local Hadoop FS that would target the wrong file (r3 ADVICE).
+
+    Only strings that actually LOOK like URIs are parsed: 'file:...' or an
+    explicit '<scheme>://' prefix. A plain relative path with a colon in its
+    first segment ('data:v2/part.parquet') is a valid local path and must
+    pass through unchanged, not urlparse into scheme 'data' (r4 ADVICE #4)."""
+    import re  # noqa: PLC0415
     from urllib.parse import unquote, urlparse  # noqa: PLC0415
 
-    u = urlparse(p)
-    if not u.scheme:
+    if not (
+        p.startswith("file:") or re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://", p)
+    ):
         return p
+    u = urlparse(p)
     if u.scheme != "file":
         raise ValueError(f"non-local file URI not supported here: {p}")
     if u.netloc not in ("", "localhost"):

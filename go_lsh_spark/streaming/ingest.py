@@ -94,6 +94,19 @@ def _has_parquet(path: str) -> bool:
     return False
 
 
+def _committed(path: str) -> bool:
+    """True only for a table whose last non-dynamic write fully committed:
+    data files present AND the job-level _SUCCESS marker. Gating table
+    CREATION on bare os.path.exists (or on data files alone) lets a crash
+    mid-first-write masquerade as an existing table, sending the replay down
+    the incremental branch over partial state (r4 ADVICE #2). Later dynamic
+    overwrites leave the old _SUCCESS in place until their own job commit,
+    so a mid-batch crash still reads as committed-at-some-point -- which is
+    exactly right: the incremental branch's dynamic overwrites are replay-
+    idempotent."""
+    return _has_parquet(path) and os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def _cpart(col, n_parts: int = 64) -> F.Column:
     """clusters-table partition of a clip_id. Rows never move partitions
     (keyed by immutable clip_id, not the mutable cluster_id), so a dynamic
@@ -270,6 +283,16 @@ def compact_appends(
         if not _has_parquet(path):
             continue
         comp = _read_compaction(path)
+        if comp and through_batch < comp["compacted_through"]:
+            # a regressed watermark would re-mark cleaned-up batch ranges as
+            # live (_live_rows: _batch_id > compacted_through), resurrecting
+            # any batch directories a crashed lazy cleanup left behind as
+            # duplicate rows (r4 ADVICE #3)
+            raise ValueError(
+                f"compaction watermark regression for {path}: through_batch="
+                f"{through_batch} < committed compacted_through="
+                f"{comp['compacted_through']}"
+            )
         gen = (comp["generation"] if comp else 0) + 1
         prev_thru = comp["compacted_through"] if comp else -1
         df = spark.read.parquet(path)
@@ -628,8 +651,11 @@ def _update_clusters(
         .distinct()
     )
 
-    if not os.path.exists(path):
-        # first batch: everything is new; CC over raw edges, singletons self
+    if not _committed(path):
+        # first batch: everything is new; CC over raw edges, singletons self.
+        # Gate on _committed, not os.path.exists: Spark creates the clusters
+        # directory at write START, so a crash mid-first-write must re-take
+        # this branch on replay, not the incremental one (r4 ADVICE #2).
         comp = connected_components(
             edges.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst"))
         )
@@ -642,7 +668,11 @@ def _update_clusters(
         )
         assign = assign.withColumn("_cpart", _cpart(F.col("clip_id"), n_parts))
         assign.persist()
-        assign.write.partitionBy("_cpart").mode("overwrite").parquet(path)
+        # index FIRST (the documented crash-safety order): a crash between
+        # the two writes leaves no committed clusters table, so the replay
+        # re-takes this branch and rewrites both. The old clusters-first
+        # order could strand a clusters table with no index, wedging every
+        # later batch's unguarded index read (r4 ADVICE #2).
         (
             assign.select("cluster_id", F.col("_cpart").alias("cpart"))
             .distinct()
@@ -651,6 +681,7 @@ def _update_clusters(
             .mode("overwrite")
             .parquet(index_path)
         )
+        assign.write.partitionBy("_cpart").mode("overwrite").parquet(path)
         assign.unpersist()
         return
 
@@ -709,7 +740,22 @@ def _update_clusters(
         .distinct()
         .collect()
     ]
-    index = spark.read.parquet(index_path)
+    if _has_parquet(index_path):
+        index = spark.read.parquet(index_path)
+    else:
+        # crash-repair fallback (r4 ADVICE #2): a clusters table with no
+        # index (legacy write order, or index directory lost) must not wedge
+        # the stream. Rebuild the inverted summary from the clusters table --
+        # one full scan, but ONLY on this repair path, never steady-state.
+        (
+            prior.select("cluster_id", F.col("_cpart").alias("cpart"))
+            .distinct()
+            .withColumn("_ipart", _ipart(F.col("cluster_id"), n_parts))
+            .write.partitionBy("_ipart")
+            .mode("overwrite")
+            .parquet(index_path)
+        )
+        index = spark.read.parquet(index_path)
     merged_parts = []
     if det_iparts:
         merged_parts = [
@@ -852,18 +898,26 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
     if not _has_parquet(f"{out_path}/winnow_df"):
         return {"over_cap_fps": 0, "suspect_pairs": 0, "dropped_pairs": 0,
                 "reclustered_clusters": 0}
-    over = (
+    # the over-cap fingerprint set STAYS a DataFrame (r4 verdict #4): on a
+    # natural corpus it is tiny, but a boilerplate-heavy corpus can push an
+    # unbounded number of fingerprints over the cap, and a driver-side
+    # collect of that set would be the one non-config-bounded collect in the
+    # streaming layer. Every use below is a broadcast semi/anti join; the
+    # only driver materializations are partition-id lists (bounded by the
+    # configured partition counts) and scalar counts.
+    over_df = (
         spark.read.parquet(f"{out_path}/winnow_df")
         .filter(F.col("df") > cap)
         .select("hash")
+        .persist()
     )
-    over_hashes = [r["hash"] for r in over.collect()]  # stop-gram set: tiny
-    if not over_hashes or not _has_parquet(f"{out_path}/verified_pairs"):
+    n_over = over_df.count()
+    if not n_over or not _has_parquet(f"{out_path}/verified_pairs"):
         # nothing over the cap, or no pair was ever verified (then no merge
         # ever happened and every cluster is already batch-exact)
-        return {"over_cap_fps": len(over_hashes), "suspect_pairs": 0,
+        over_df.unpersist()
+        return {"over_cap_fps": n_over, "suspect_pairs": 0,
                 "dropped_pairs": 0, "reclustered_clusters": 0}
-    over_df = spark.createDataFrame([(h,) for h in over_hashes], "hash long")
 
     # clips carrying an over-cap fingerprint: pruned read of the buckets
     # sink (the _kpart of a winnow key is computable from the hash alone)
@@ -966,13 +1020,33 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
                 ["clip_id_a", "clip_id_b"],
                 "left_anti",
             )
+            .persist()
         )
+        # a dynamic overwrite only rewrites partitions PRESENT in its
+        # output: a batch whose EVERY pair dropped contributes zero rows, so
+        # its on-disk partition would silently survive and the re-cluster
+        # below would keep the merge reconcile exists to undo (r4 ADVICE
+        # high). Record which drop batches still have survivors BEFORE the
+        # write, then clear the survivor-less partitions explicitly after.
+        surviving_batches = {
+            r["_batch_id"]
+            for r in remaining.select("_batch_id").distinct().collect()
+        }
         (
             remaining.write.partitionBy("_batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .parquet(f"{out_path}/verified_pairs")
         )
+        remaining.unpersist()
+        import shutil  # noqa: PLC0415
+
+        for b in drop_batches:
+            if b not in surviving_batches:
+                shutil.rmtree(
+                    os.path.join(out_path, "verified_pairs", f"_batch_id={b}"),
+                    ignore_errors=True,
+                )
 
     # re-split every cluster touching a suspect clip: gather members via the
     # cluster_index (pruned), re-run CC over surviving internal edges. For
@@ -1015,7 +1089,14 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
             .select("clip_id")
             .persist()
         )
-        vp_now = spark.read.parquet(f"{out_path}/verified_pairs")
+        if _has_parquet(f"{out_path}/verified_pairs"):
+            vp_now = spark.read.parquet(f"{out_path}/verified_pairs")
+        else:
+            # every stored pair dropped -> the partition clears above left a
+            # file-less table; all affected clusters re-split to singletons
+            vp_now = spark.createDataFrame(
+                [], "clip_id_a string, clip_id_b string"
+            )
         edges = (
             vp_now.select("clip_id_a", "clip_id_b")
             .join(members.withColumnRenamed("clip_id", "clip_id_a"), "clip_id_a", "left_semi")
@@ -1084,7 +1165,7 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
         new_assign.unpersist()
 
     out = {
-        "over_cap_fps": len(over_hashes),
+        "over_cap_fps": n_over,
         "suspect_pairs": n_suspect,
         "dropped_pairs": n_dropped,
         "reclustered_clusters": n_affected,
@@ -1093,6 +1174,7 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
     dropped.unpersist()
     suspect_pairs.unpersist()
     suspects.unpersist()
+    over_df.unpersist()
     return out
 
 

@@ -165,6 +165,10 @@ def test_strip_uri_rejects_remote_authority():
         _strip_uri("file://host/a/b.parquet")
     with pytest.raises(ValueError, match="non-local"):
         _strip_uri("hdfs://nn/a/b.parquet")
+    # a plain relative path with a colon in its first segment is NOT a URI:
+    # it must pass through unchanged, not urlparse into scheme 'data'
+    assert _strip_uri("data:v2/part.parquet") == "data:v2/part.parquet"
+    assert _strip_uri("c:stuff") == "c:stuff"
 
 
 def test_iceberg_fmt_requires_runtime_jar(spark, tmp_path):

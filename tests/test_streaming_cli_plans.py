@@ -47,9 +47,13 @@ def test_cli_stream_dedup_and_reconcile(spark, tmp_path, capsys):
     src = str(tmp_path / "clips_in")
     clips.repartition(3).write.parquet(src)
 
+    # --timeout exercises the awaitTermination(timeout) branch: the drain
+    # finishes well within it, the return value is checked (r4 ADVICE #5),
+    # and no exception is pending
     rc = cli.main(
         ["stream-dedup", "--clips", src, "--out", str(tmp_path / "out"),
-         "--checkpoint", str(tmp_path / "ck"), "--max-files", "1"]
+         "--checkpoint", str(tmp_path / "ck"), "--max-files", "1",
+         "--timeout", "600"]
     )
     assert rc == 0
     out = json.loads(capsys.readouterr().out)
@@ -604,3 +608,232 @@ def test_streaming_replay_idempotent(spark, tmp_path):
             for r in spark.read.parquet(f"{root}/clusters").collect()
         }
         assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def _build_reconcile_state(spark, out, cfg, with_survivor_batch):
+    """Hand-built streaming state where batch 0's ONLY verified pair is
+    stop-gram-induced: fingerprint H is over the final df cap, the pair's
+    recomputed winnow evidence vanishes, and reconcile must drop it AND
+    clear the now-empty _batch_id=0 partition (dynamic overwrite alone
+    rewrites only partitions present in the output -- r4 ADVICE high)."""
+    from go_lsh_spark.streaming.ingest import (
+        _hash_part,
+        _update_clusters,
+        _write_batch_partition,
+        ensure_state_meta,
+        update_winnow_df,
+    )
+
+    ensure_state_meta(out, cfg)
+    H = 12345
+    counts = spark.createDataFrame(
+        [(H, cfg.winnow_max_df + 1)], "hash long, delta long"
+    )
+    update_winnow_df(
+        spark, out, counts, 0, n_parts=cfg.df_parts, max_df=cfg.winnow_max_df
+    )
+    buckets = spark.createDataFrame(
+        [("winnow", 0, H, "x", 0), ("winnow", 0, H, "y", 0)],
+        "src string, band int, hash long, clip_id string, sig64 long",
+    ).withColumn(
+        "_kpart", _hash_part(F.xxhash64("src", "band", "hash"), cfg.key_parts)
+    )
+    _write_batch_partition(buckets, 0, f"{out}/buckets", extra_parts=("_kpart",))
+    sig_rows = [("x", [H]), ("y", [H])]
+    if with_survivor_batch:
+        sig_rows += [("p", []), ("q", [])]
+    sigs = spark.createDataFrame(
+        sig_rows, "clip_id string, winnow array<long>"
+    ).withColumn("_spart", _hash_part(F.col("clip_id"), cfg.sig_parts))
+    _write_batch_partition(sigs, 0, f"{out}/signatures", extra_parts=("_spart",))
+    vp_schema = (
+        "clip_id_a string, clip_id_b string, from_simhash int, from_minhash int, "
+        "from_winnow int, hamming int, score double, jaccard_est double, "
+        "audio_ok boolean, text_ok boolean, lcs_len int"
+    )
+    vp0 = spark.createDataFrame(
+        [("x", "y", 0, 0, 1, None, None, None, False, False, 40)], vp_schema
+    )
+    _write_batch_partition(vp0, 0, f"{out}/verified_pairs")
+    clips = [("x",), ("y",)]
+    edges = [("x", "y")]
+    if with_survivor_batch:
+        vp1 = spark.createDataFrame(
+            [("p", "q", 1, 0, 0, 0, 0.99, None, True, False, None)], vp_schema
+        )
+        _write_batch_partition(vp1, 1, f"{out}/verified_pairs")
+        clips += [("p",), ("q",)]
+        edges += [("p", "q")]
+    _update_clusters(
+        spark,
+        out,
+        spark.createDataFrame(clips, "clip_id string"),
+        spark.createDataFrame(edges, "clip_id_a string, clip_id_b string"),
+        n_parts=cfg.cluster_parts,
+    )
+
+
+def test_reconcile_clears_batch_partition_with_no_survivors(spark, tmp_path):
+    """A microbatch whose EVERY verified pair is stop-gram-induced: reconcile
+    must physically clear its verified_pairs partition (a dynamic overwrite
+    with zero surviving rows never rewrites it), so the re-cluster actually
+    splits the merged cluster instead of re-reading the dropped pair."""
+    import os
+
+    from go_lsh_spark.streaming.ingest import reconcile
+
+    out = str(tmp_path / "st")
+    cfg = DedupConfig()
+    _build_reconcile_state(spark, out, cfg, with_survivor_batch=True)
+
+    stats = reconcile(spark, out, cfg)
+    assert stats["dropped_pairs"] == 1
+    assert stats["reclustered_clusters"] == 1
+    # the survivor-less batch partition is gone from disk
+    assert not os.path.exists(f"{out}/verified_pairs/_batch_id=0")
+    vp = spark.read.parquet(f"{out}/verified_pairs")
+    assert [(r.clip_id_a, r.clip_id_b) for r in vp.collect()] == [("p", "q")]
+    # the stop-gram merge is actually undone
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got == {"x": "x", "y": "y", "p": "p", "q": "p"}
+    # idempotent
+    stats2 = reconcile(spark, out, cfg)
+    assert stats2["dropped_pairs"] == 0
+    got2 = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got2 == got
+
+
+def test_reconcile_when_every_stored_pair_drops(spark, tmp_path):
+    """Degenerate blast radius: the ONLY pair in the whole verified_pairs
+    table drops -> the table ends file-less; the re-cluster must still run
+    (empty edge set) and a second reconcile must be a clean no-op."""
+    from go_lsh_spark.streaming.ingest import _has_parquet, reconcile
+
+    out = str(tmp_path / "st")
+    cfg = DedupConfig()
+    _build_reconcile_state(spark, out, cfg, with_survivor_batch=False)
+
+    stats = reconcile(spark, out, cfg)
+    assert stats["dropped_pairs"] == 1
+    assert not _has_parquet(f"{out}/verified_pairs")
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    assert got == {"x": "x", "y": "y"}
+    stats2 = reconcile(spark, out, cfg)
+    assert stats2["dropped_pairs"] == 0
+
+
+def test_update_clusters_creation_crash_and_missing_index(spark, tmp_path):
+    """Creation-branch crash safety (r4 ADVICE #2): the index is written
+    BEFORE the clusters table and the branch gates on a COMMITTED clusters
+    table, so (a) a crash between the two writes replays through the
+    creation branch, (b) a partial clusters write (no _SUCCESS) does too,
+    and (c) a clusters table missing its index (legacy order) rebuilds the
+    index instead of wedging the incremental branch."""
+    import os
+    import shutil
+
+    from go_lsh_spark.streaming.ingest import _update_clusters
+
+    root = str(tmp_path / "st")
+    clips1 = spark.createDataFrame([(c,) for c in "abcd"], "clip_id string")
+    edges1 = spark.createDataFrame(
+        [("a", "b")], "clip_id_a string, clip_id_b string"
+    )
+    _update_clusters(spark, root, clips1, edges1)
+    expected1 = {"a": "a", "b": "a", "c": "c", "d": "d"}
+
+    # (a) crash between index write and clusters write: index committed,
+    # clusters directory exists but is empty (Spark creates it at start)
+    shutil.rmtree(f"{root}/clusters")
+    os.makedirs(f"{root}/clusters")
+    _update_clusters(spark, root, clips1, edges1)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    assert got == expected1
+
+    # (b) partial clusters write: data files present but no _SUCCESS
+    os.remove(f"{root}/clusters/_SUCCESS")
+    _update_clusters(spark, root, clips1, edges1)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    assert got == expected1
+
+    # (c) committed clusters, missing index -> rebuild fallback, then the
+    # incremental merge proceeds normally
+    shutil.rmtree(f"{root}/cluster_index")
+    clips2 = spark.createDataFrame([("e",)], "clip_id string")
+    edges2 = spark.createDataFrame(
+        [("b", "c")], "clip_id_a string, clip_id_b string"
+    )
+    _update_clusters(spark, root, clips2, edges2)
+    got = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e"}
+    truth = {
+        (r.cluster_id, r._cpart)
+        for r in spark.read.parquet(f"{root}/clusters").collect()
+    }
+    idx = {
+        (r.cluster_id, r.cpart)
+        for r in spark.read.parquet(f"{root}/cluster_index").collect()
+    }
+    assert truth <= idx
+
+
+def test_cli_compact_watermark_safety(spark, tmp_path, capsys):
+    """`compact --through-batch -1` derivation (r4 ADVICE #3): no-op on an
+    empty table (not int(None) TypeError), never derives a regressing
+    watermark from generation ids after cleanup, and an explicit regressing
+    through_batch is rejected loudly."""
+    from go_lsh_spark import cli
+    from go_lsh_spark.streaming.ingest import (
+        _read_compaction,
+        _write_batch_partition,
+        compact_appends,
+    )
+
+    out = str(tmp_path / "st")
+    rc = cli.main(["compact", "--out", out])
+    assert rc == 0
+    assert json.loads(capsys.readouterr().out) == {}
+
+    df = spark.createDataFrame(
+        [(i, f"c{i}", i % 4) for i in range(8)],
+        "v long, clip_id string, _kpart int",
+    )
+    _write_batch_partition(df, 0, f"{out}/buckets", extra_parts=("_kpart",))
+    _write_batch_partition(df, 1, f"{out}/buckets", extra_parts=("_kpart",))
+    stats = compact_appends(spark, out, 1)
+    assert stats["buckets"]["rows"] == 16
+
+    # only the generation dir remains now: auto-derivation must hold the
+    # watermark at 1, not regress it to max(_batch_id) = -1
+    rc = cli.main(["compact", "--out", out])
+    assert rc == 0
+    capsys.readouterr()
+    assert _read_compaction(f"{out}/buckets")["compacted_through"] == 1
+    from pyspark.sql import functions as _F
+    from go_lsh_spark.streaming.ingest import _live_rows
+
+    live = spark.read.parquet(f"{out}/buckets").filter(
+        _live_rows(f"{out}/buckets")
+    )
+    assert live.count() == 16
+
+    with pytest.raises(ValueError, match="watermark regression"):
+        compact_appends(spark, out, 0)
