@@ -234,48 +234,85 @@ def _read_compaction(table_path: str) -> dict | None:
         return json.load(f)
 
 
+def _live_generations(comp: dict) -> dict[int, int | None]:
+    """Live generation ids -> row counts from a compaction sidecar. The
+    tiered format records {"generations": {id: rows}}; a legacy single-
+    generation sidecar ({"generation": g}) reads as one generation with an
+    unknown row count."""
+    if "generations" in comp:
+        return {int(k): v for k, v in comp["generations"].items()}
+    return {int(comp["generation"]): None}
+
+
 def _live_rows(table_path: str) -> F.Column:
     """Predicate selecting exactly-once rows of a compactable append sink:
-    the current compaction generation (stored at _batch_id = -generation)
-    plus every batch after the compaction watermark. Batch partitions at or
-    below the watermark may still exist on disk (cleanup is lazy, see
-    compact_appends) -- this filter is what makes that safe."""
+    the live compaction generations (stored at _batch_id = -id, possibly
+    several under size-tiered compaction) plus every batch after the
+    compaction watermark. Batch partitions at or below the watermark may
+    still exist on disk (cleanup is lazy, see compact_appends) -- this
+    filter is what makes that safe."""
     comp = _read_compaction(table_path)
     if comp is None:
         return F.col("_batch_id") >= 0
-    return (F.col("_batch_id") == -comp["generation"]) | (
+    gen_ids = [-g for g in _live_generations(comp)]
+    return F.col("_batch_id").isin(gen_ids) | (
         F.col("_batch_id") > comp["compacted_through"]
     )
 
 
+def _dir_bytes(path: str) -> int:
+    return sum(
+        os.path.getsize(os.path.join(root, fn))
+        for root, _dirs, files in os.walk(path)
+        for fn in files
+        if fn.endswith(".parquet")
+    )
+
+
 def compact_appends(
-    spark: SparkSession, out_path: str, through_batch: int
+    spark: SparkSession,
+    out_path: str,
+    through_batch: int,
+    merge_ratio: float = 3.0,
+    max_generations: int = 4,
 ) -> dict:
-    """Fold the buckets/signatures sinks' per-batch partitions at or below
-    `through_batch` into one compacted generation per table -- the LSM
-    compaction that keeps file counts bounded as batches accumulate (a
-    10^12-clip stream would otherwise grow O(batches x key partitions)
-    small files).
+    """SIZE-TIERED fold of the buckets/signatures sinks' per-batch
+    partitions at or below `through_batch` -- the LSM compaction that keeps
+    file counts bounded as batches accumulate (a 10^12-clip stream would
+    otherwise grow O(batches x key partitions) small files) WITHOUT
+    rewriting the whole accumulated table every run (r4 verdict #2: the
+    previous single-generation fold had O(corpus) write amplification per
+    invocation).
+
+    Tiering: the new batches become a fresh generation; an existing
+    generation is absorbed into the fold only when its row count is within
+    `merge_ratio` x the rows already being folded (smallest tiers first),
+    and the live-generation count is capped at `max_generations` (fold the
+    smallest tiers regardless when exceeded). Per-compaction write cost is
+    therefore bounded by the size of the tiers actually merging -- a large
+    old generation is rewritten only when the data accumulated since is a
+    comparable fraction of it, the classic size-tiered amortization
+    (total write cost O(N log N), never O(N) per run).
 
     `through_batch` MUST be a batch the streaming checkpoint has committed
     (Structured Streaming only ever replays the latest uncommitted batch,
     so committed partitions are immutable and safe to fold).
 
     Crash-safe by generation + atomic sidecar commit:
-      1. rows of the previous generation plus batches in
-         (previous watermark, through_batch] are rewritten into a NEW
-         generation partition (_batch_id = -(g+1)); a dynamic overwrite
-         touches nothing else.
+      1. the folding rows (new batches + absorbed generations) are written
+         to a NEW generation partition (_batch_id = -(max id + 1)); a
+         dynamic overwrite touches nothing else.
       2. the `_compaction.json` sidecar swap (os.replace) is the single
-         commit point readers observe (_live_rows).
+         commit point readers observe (_live_rows); it lists every live
+         generation id with its row count.
       3. superseded batch/generation directories are removed AFTER the
-         commit; a crash anywhere leaves either the old or the new
-         generation fully live and at worst some unread garbage
-         directories, never duplicates or loss.
+         commit; a crash anywhere leaves the committed generation set fully
+         live and at worst some unread garbage directories, never
+         duplicates or loss.
 
-    Idempotent: re-running with the same through_batch folds the current
-    generation into a fresh one (a rename, not a double-count).
-    Returns per-table rows + file counts.
+    Idempotent: re-running with the same through_batch has nothing new to
+    fold and is a no-op (plus lazy cleanup). Returns per-table rows, file
+    counts, live generations, and the bytes this run actually rewrote.
     """
     stats = {}
     for table, secondary in (("buckets", "_kpart"), ("signatures", "_spart")):
@@ -293,45 +330,81 @@ def compact_appends(
                 f"{through_batch} < committed compacted_through="
                 f"{comp['compacted_through']}"
             )
-        gen = (comp["generation"] if comp else 0) + 1
         prev_thru = comp["compacted_through"] if comp else -1
+        gens = _live_generations(comp) if comp else {}
         df = spark.read.parquet(path)
-        fold = df.filter(
-            (
-                (F.col("_batch_id") > prev_thru)
-                & (F.col("_batch_id") <= through_batch)
-            )
-            | (F.col("_batch_id") == -(gen - 1))
+        new_batches = (F.col("_batch_id") > prev_thru) & (
+            F.col("_batch_id") <= through_batch
         )
-        n_parts = df.select(secondary).distinct().count()
-        (
-            fold.withColumn("_batch_id", F.lit(-gen))
-            # one file per secondary partition: repartition ON the secondary
-            # key so the write produces n_parts consolidated files
-            .repartition(max(int(n_parts), 1), secondary)
-            .write.partitionBy("_batch_id", secondary)
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(path)
-        )
-        # atomic commit point
-        tmp = os.path.join(path, COMPACTION + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(
-                {"generation": gen, "compacted_through": through_batch,
-                 "committed_at": time.time()},
-                f,
-            )
-        os.replace(tmp, os.path.join(path, COMPACTION))
-        # lazy cleanup of superseded directories (idempotent; readers
-        # already ignore them via _live_rows)
+        n_new = df.filter(new_batches).count()
+        for g, rows in gens.items():
+            if rows is None:  # legacy sidecar: count once, recorded on commit
+                gens[g] = df.filter(F.col("_batch_id") == -g).count()
+
+        # tier selection: absorb existing generations smallest-first while
+        # they are within merge_ratio of the rows already folding; then cap
+        # the live-generation count
+        folded = n_new
+        absorb: list[int] = []
+        survivors = dict(gens)
+        for g in sorted(gens, key=lambda k: gens[k]):
+            if folded and gens[g] <= merge_ratio * folded:
+                absorb.append(g)
+                folded += gens[g]
+                del survivors[g]
+        while survivors and len(survivors) + (1 if folded else 0) > max_generations:
+            g = min(survivors, key=lambda k: survivors[k])
+            absorb.append(g)
+            folded += survivors.pop(g)
+
         import shutil  # noqa: PLC0415
 
+        if folded:
+            new_id = (max(gens) if gens else 0) + 1
+            fold = df.filter(
+                new_batches | F.col("_batch_id").isin([-g for g in absorb])
+            )
+            n_parts = fold.select(secondary).distinct().count()
+            (
+                fold.withColumn("_batch_id", F.lit(-new_id))
+                # one file per secondary partition: repartition ON the
+                # secondary key so the write produces n_parts consolidated
+                # files
+                .repartition(max(int(n_parts), 1), secondary)
+                .write.partitionBy("_batch_id", secondary)
+                .option("partitionOverwriteMode", "dynamic")
+                .mode("overwrite")
+                .parquet(path)
+            )
+            rewritten_bytes = _dir_bytes(os.path.join(path, f"_batch_id=-{new_id}"))
+            live_gens = {**survivors, new_id: folded}
+        else:
+            rewritten_bytes = 0
+            live_gens = survivors
+        # atomic commit point (skipped when nothing folded AND the sidecar
+        # already reflects this watermark -- a pure cleanup pass)
+        if folded or comp is None or through_batch != prev_thru:
+            tmp = os.path.join(path, COMPACTION + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        # legacy key kept for any external reader; the
+                        # authoritative list is "generations"
+                        "generation": max(live_gens) if live_gens else 0,
+                        "generations": {str(k): v for k, v in live_gens.items()},
+                        "compacted_through": through_batch,
+                        "committed_at": time.time(),
+                    },
+                    f,
+                )
+            os.replace(tmp, os.path.join(path, COMPACTION))
+        # lazy cleanup of superseded directories (idempotent; readers
+        # already ignore them via _live_rows)
         for d in os.listdir(path):
             if not d.startswith("_batch_id="):
                 continue
             b = int(d.split("=", 1)[1])
-            if (0 <= b <= through_batch) or (b < 0 and b != -gen):
+            if (0 <= b <= through_batch) or (b < 0 and -b not in live_gens):
                 shutil.rmtree(os.path.join(path, d), ignore_errors=True)
         live = spark.read.parquet(path).filter(_live_rows(path))
         n_files = sum(
@@ -340,7 +413,15 @@ def compact_appends(
             for fn in files
             if fn.endswith(".parquet")
         )
-        stats[table] = {"rows": live.count(), "files": n_files, "generation": gen}
+        stats[table] = {
+            "rows": live.count(),
+            "files": n_files,
+            "generations": sorted(live_gens),
+            "rows_per_generation": {str(k): v for k, v in sorted(live_gens.items())},
+            "rewritten_rows": folded,
+            "rewritten_bytes": rewritten_bytes,
+            "total_bytes": _dir_bytes(path),
+        }
     return stats
 
 

@@ -837,3 +837,106 @@ def test_cli_compact_watermark_safety(spark, tmp_path, capsys):
 
     with pytest.raises(ValueError, match="watermark regression"):
         compact_appends(spark, out, 0)
+
+
+def test_tiered_compaction_bounds_write_amplification(spark, tmp_path):
+    """Size-tiered compaction (r4 verdict #2): when the newly arrived data
+    is small relative to the existing generation, a compaction run must
+    rewrite ONLY the small tier -- bytes rewritten a small fraction of the
+    table -- and absorb tiers only when they are size-comparable. The live
+    row set is preserved across every fold."""
+    from go_lsh_spark.streaming.ingest import (
+        _live_rows,
+        _write_batch_partition,
+        compact_appends,
+    )
+
+    out = str(tmp_path / "st")
+    bpath = f"{out}/buckets"
+
+    def rows(batch, n, start=0):
+        df = spark.createDataFrame(
+            [(start + i, f"c{start + i}", (start + i) % 4) for i in range(n)],
+            "v long, clip_id string, _kpart int",
+        )
+        _write_batch_partition(df, batch, bpath, extra_parts=("_kpart",))
+
+    def live_set():
+        return {
+            r.v
+            for r in spark.read.parquet(bpath).filter(_live_rows(bpath)).collect()
+        }
+
+    # big first tier: 2000 rows over batches 0-3
+    for b in range(4):
+        rows(b, 500, start=b * 500)
+    s1 = compact_appends(spark, out, 3)["buckets"]
+    assert s1["rows"] == 2000
+    assert s1["rewritten_rows"] == 2000
+    assert s1["generations"] == [1]
+
+    # small second tier: 20 rows -> must NOT rewrite the 2000-row generation
+    rows(4, 20, start=10_000)
+    s2 = compact_appends(spark, out, 4)["buckets"]
+    assert s2["rows"] == 2020
+    assert s2["rewritten_rows"] == 20
+    assert s2["generations"] == [1, 2]
+    assert s2["rewritten_bytes"] < 0.5 * s2["total_bytes"], s2
+    assert live_set() == set(range(2000)) | {10_000 + i for i in range(20)}
+
+    # another small tier: absorbs the size-comparable gen 2 (20 <= 3x20)
+    # but still not the big gen 1 (2000 > 3x40)
+    rows(5, 20, start=20_000)
+    s3 = compact_appends(spark, out, 5)["buckets"]
+    assert s3["rows"] == 2040
+    assert s3["rewritten_rows"] == 40
+    assert sorted(s3["generations"]) == [1, 3]
+    assert live_set() == (
+        set(range(2000))
+        | {10_000 + i for i in range(20)}
+        | {20_000 + i for i in range(20)}
+    )
+
+    # re-run at the same watermark: nothing new -> pure no-op, watermark holds
+    s4 = compact_appends(spark, out, 5)["buckets"]
+    assert s4["rewritten_rows"] == 0
+    assert sorted(s4["generations"]) == [1, 3]
+    assert live_set() == (
+        set(range(2000))
+        | {10_000 + i for i in range(20)}
+        | {20_000 + i for i in range(20)}
+    )
+
+
+def test_tiered_compaction_generation_cap(spark, tmp_path):
+    """The live-generation count is capped: tiers too large for the ratio
+    rule still fold (smallest first) once max_generations would be
+    exceeded, bounding read amplification."""
+    from go_lsh_spark.streaming.ingest import (
+        _live_rows,
+        _write_batch_partition,
+        compact_appends,
+    )
+
+    out = str(tmp_path / "st")
+    bpath = f"{out}/buckets"
+    total = set()
+    # geometric-ish tiers that the ratio rule would keep separate forever
+    sizes = [640, 160, 40, 10, 10]
+    start = 0
+    for b, n in enumerate(sizes):
+        df = spark.createDataFrame(
+            [(start + i, f"c{start + i}", (start + i) % 4) for i in range(n)],
+            "v long, clip_id string, _kpart int",
+        )
+        _write_batch_partition(df, b, bpath, extra_parts=("_kpart",))
+        total |= {start + i for i in range(n)}
+        start += 10_000
+        stats = compact_appends(
+            spark, out, b, merge_ratio=1.01, max_generations=3
+        )["buckets"]
+        assert len(stats["generations"]) <= 3
+    got = {
+        r.v for r in spark.read.parquet(bpath).filter(_live_rows(bpath)).collect()
+    }
+    assert got == total
