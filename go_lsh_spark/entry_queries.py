@@ -1257,12 +1257,19 @@ def q_ann_ivf(
     sf_dir: str,
     refine: bool = True,
     lloyd_iters: int | None = None,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """IVF top-K: probe the IVF_NPROBE nearest centroid lists per query,
-    exact cosine inside them (the scale path alongside ann_lsh; brute
-    topk_cosine is the baseline). refine=False keeps the raw seeded-sample
-    centroids; lloyd_iters overrides the refinement iteration count (the
-    CORRECTNESS oracle mirrors exactly one, so the default stays 1)."""
+    """IVF top-K: probe the `nprobe` nearest centroid lists per query
+    (default IVF_NPROBE), exact cosine inside them (the scale path
+    alongside ann_lsh; brute topk_cosine is the baseline). refine=False
+    keeps the raw seeded-sample centroids; lloyd_iters overrides the
+    refinement iteration count (the CORRECTNESS oracle mirrors exactly one,
+    so the default stays 1). nprobe is the recall/cost dial: recall is
+    monotone non-decreasing in it and reaches 1.0 at nprobe=IVF_K (every
+    list probed = exact search; asserted in tests/test_delete_recall.py),
+    while candidate volume -- the thing that costs at 100 TB -- scales
+    ~linearly with it."""
+    probe_n = nprobe if nprobe is not None else IVF_NPROBE
     _, cent, assigned = _ivf_assignments(
         spark, sf_dir, refine=refine, lloyd_iters=lloyd_iters
     )
@@ -1279,7 +1286,7 @@ def q_ann_ivf(
                 Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
             ),
         )
-        .filter(F.col("_r") <= IVF_NPROBE)
+        .filter(F.col("_r") <= probe_n)
         .select("query_id", "qemb", "cid")
     )
     cands = probes.join(

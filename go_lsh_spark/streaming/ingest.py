@@ -1364,6 +1364,16 @@ def start_incremental_dedup(
             n_parts=cfg.cluster_parts,
         )
         shuf1 = _shuffle_totals(spark)
+        deltas = (
+            {k: shuf1[k] - shuf0[k] for k in shuf1} if shuf0 and shuf1 else {}
+        )
+        if any(v < 0 for v in deltas.values()):
+            # the AppStatusStore trims old stages (spark.ui.retainedStages)
+            # once a long-running stream accumulates enough jobs, so the
+            # cumulative totals can go BACKWARDS mid-batch -- the delta is
+            # then garbage; omit it rather than record a lie (observed: a
+            # -38MB "shuffle read" on batch 7 of a 10-batch stream)
+            deltas = {}
         _append_batch_metrics(
             out_path,
             {
@@ -1371,11 +1381,7 @@ def start_incremental_dedup(
                 "wall_secs": round(time.time() - t0, 3),
                 "touched_kparts": len(new_kparts),
                 "touched_sparts": len(pair_sparts),
-                **(
-                    {k: shuf1[k] - shuf0[k] for k in shuf1}
-                    if shuf0 and shuf1
-                    else {}
-                ),
+                **deltas,
             },
         )
         verified.unpersist()

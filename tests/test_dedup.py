@@ -157,6 +157,7 @@ def test_substring_pairs_found(result, corpus, cfg):
         found, len(corpus.substring_pairs))
 
 
+@pytest.mark.slow
 def test_hot_bucket_salting_preserves_pairs(spark, corpus):
     """Force every bucket through the salted triangle path and require the
     identical pair set as the plain path."""
@@ -182,6 +183,7 @@ def test_empty_transcripts_carry_no_text_evidence(spark, corpus, cfg):
     assert res.verified.filter(F.col("text_ok")).count() == 0
 
 
+@pytest.mark.slow
 def test_warehouse_invalidates_on_new_input(spark, corpus, cfg, tmp_path):
     """Same warehouse, different input identity -> stages must NOT resume."""
     df, _ = clips_to_spark(spark, corpus)
@@ -193,6 +195,7 @@ def test_warehouse_invalidates_on_new_input(spark, corpus, cfg, tmp_path):
     assert all(not v["resumed"] for v in wh2.metrics().values()), wh2.metrics()
 
 
+@pytest.mark.slow
 def test_warehouse_checkpoint_resume(spark, corpus, cfg, tmp_path):
     df, _ = clips_to_spark(spark, corpus)
     wh1 = Warehouse(spark, str(tmp_path / "wh"))

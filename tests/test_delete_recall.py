@@ -178,6 +178,7 @@ def test_iceberg_fmt_requires_runtime_jar(spark, tmp_path):
         Warehouse(spark, str(tmp_path / "whi"), fmt="iceberg")
 
 
+@pytest.mark.slow
 def test_cli_dedup_writes_manifests_and_delete_prunes_files(spark, tmp_path, capsys):
     """CLI round-trip (r3 verdict #3): `dedup` builds a manifest-mode
     warehouse, `delete` removes a clip touching a strict subset of the
@@ -262,6 +263,7 @@ def test_ann_recall_meets_stats_prediction(spark):
     assert measured >= expect, (measured, expect)
 
 
+@pytest.mark.slow
 def test_ivf_refined_centroids_beat_seeded_baseline(spark):
     """One k-means (Lloyd) iteration over the seeded-sample centroids must
     (a) cut the quantization error -- the provable Lloyd property -- and
@@ -310,3 +312,33 @@ def test_ivf_refined_centroids_beat_seeded_baseline(spark):
     assert stats[2][0] <= stats[1][0] * 1.001, stats
     # recall@K is monotone over 0/1/2 on this seeded corpus
     assert stats[0][1] <= stats[1][1] <= stats[2][1], stats
+
+
+@pytest.mark.slow
+def test_ivf_nprobe_monotone_recall(spark, sf_dir):
+    """nprobe is the IVF recall/cost dial: recall@K must be monotone
+    non-decreasing in the probe count, and probing every list (nprobe =
+    IVF_K) must equal exact search (recall 1.0) -- the other half of the
+    IVF quality story next to the Lloyd-iteration knob."""
+    from go_lsh_spark import entry_queries as EQ
+
+    brute = EQ.q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
+    brute = brute.persist()
+    n_pairs = brute.count()
+
+    recall = {}
+    for nprobe in (1, 2, 4, EQ.IVF_K):
+        hits = brute.join(
+            EQ.q_ann_ivf(spark, sf_dir, nprobe=nprobe).select(
+                "query_id", "neighbor_id"
+            ),
+            ["query_id", "neighbor_id"],
+        ).count()
+        recall[nprobe] = hits / n_pairs
+    brute.unpersist()
+
+    assert recall[1] <= recall[2] <= recall[4] <= recall[EQ.IVF_K], recall
+    assert recall[EQ.IVF_K] == 1.0, recall
+    # the dial must actually dial: probing 1/16th of the lists cannot
+    # already be exact on a non-degenerate corpus
+    assert recall[1] < 1.0, recall

@@ -120,6 +120,7 @@ def test_validation_side_output(spark):
     assert eng.forward.count() == 1
 
 
+@pytest.mark.slow
 def test_engine_matches_oracle_randomized(spark):
     """Engine and oracle share planes => identical result sets (SURVEY §5b)."""
     rng = np.random.default_rng(123)
