@@ -60,6 +60,9 @@ def main(argv=None) -> int:
                     help="sizes the state-table partition counts (0 = sandbox floors)")
     st.add_argument("--timeout", type=int, default=0,
                     help="awaitTermination seconds (0 = wait until drained)")
+    st.add_argument("--compact-every", type=int, default=0,
+                    help="fold the append sinks in-stream after every N "
+                    "microbatches (size-tiered; 0 = off)")
 
     rp = sub.add_parser("reconcile", help="compact streaming state to batch semantics")
     rp.add_argument("--out", required=True)
@@ -153,7 +156,10 @@ def main(argv=None) -> int:
             from go_lsh_spark.streaming.ingest import _has_parquet
 
             stream = read_clip_stream(spark, args.clips, max_files=args.max_files)
-            q = start_incremental_dedup(stream, cfg, args.out, args.checkpoint)
+            q = start_incremental_dedup(
+                stream, cfg, args.out, args.checkpoint,
+                compact_every=args.compact_every,
+            )
             if args.timeout:
                 # awaitTermination(timeout) returns False while the query is
                 # still running -- ignoring that and reading the tables would

@@ -1348,7 +1348,8 @@ def _sql_ivf_cte() -> str:
     )"""
 
 
-def sql_ann_ivf() -> str:
+def sql_ann_ivf(nprobe: int | None = None) -> str:
+    probe_n = nprobe if nprobe is not None else IVF_NPROBE
     return f"""
     WITH {_sql_ivf_cte()},
     probes AS (
@@ -1359,7 +1360,7 @@ def sql_ann_ivf() -> str:
                  ORDER BY list_dot_product(c.cemb, c.cemb) - 2 * list_dot_product(a.embd, c.cemb), c.cid
                ) AS r
         FROM assigned a CROSS JOIN cent c WHERE a.vec_id < {N_QUERIES}
-      ) WHERE r <= {IVF_NPROBE}
+      ) WHERE r <= {probe_n}
     ),
     scored AS (
       SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id,
@@ -1373,6 +1374,18 @@ def sql_ann_ivf() -> str:
       FROM scored
     ) WHERE rank <= {TOPK}
     """
+
+
+def q_ann_ivf_nprobe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nprobe dial at its cheapest setting (one list probed per query):
+    the oracle-checked witness that the probe-count knob changes the
+    candidate set cross-engine exactly the same way (recall monotonicity
+    over the dial is pinned in tests/test_delete_recall.py)."""
+    return q_ann_ivf(spark, sf_dir, nprobe=1)
+
+
+def sql_ann_ivf_nprobe1() -> str:
+    return sql_ann_ivf(nprobe=1)
 
 
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,6 +1481,7 @@ QUERIES = {
     "winnowing_fingerprints": (q_winnowing, sql_winnowing),
     "ann_recall": (q_ann_recall, sql_ann_recall),
     "ann_recall_ivf": (q_ann_recall_ivf, sql_ann_recall_ivf),
+    "ann_ivf_nprobe1": (q_ann_ivf_nprobe1, sql_ann_ivf_nprobe1),
     "cosine_neardup_pairs": (q_cosine_neardup_pairs, sql_cosine_neardup_pairs),
     # VALUES goldens from the reference's TestLSHSearch fixture
     # (hashing is UDF-side; expected rows proven by the numpy oracle and

@@ -1270,7 +1270,11 @@ def _append_batch_metrics(out_path: str, record: dict) -> None:
 
 
 def start_incremental_dedup(
-    clips: DataFrame, cfg: DedupConfig, out_path: str, checkpoint: str
+    clips: DataFrame,
+    cfg: DedupConfig,
+    out_path: str,
+    checkpoint: str,
+    compact_every: int = 0,
 ):
     """Streaming near-duplicate detection: per microbatch, the NEW clips'
     signatures/buckets append to the accumulated tables (idempotently, via
@@ -1281,7 +1285,15 @@ def start_incremental_dedup(
     merged so per-clip cluster assignments are current after every batch --
     the reference's incremental Index()+Search() usage (lsh/lsh.go:62-129)
     expressed as foreachBatch-over-tables, with every per-batch computation
-    O(batch + touched state partitions) (see module docstring)."""
+    O(batch + touched state partitions) (see module docstring).
+
+    compact_every=N (0 = off) folds the append sinks in-stream after every
+    N processed microbatches, through the PREVIOUS batch (the newest one the
+    checkpoint has definitely committed by the time this one runs) -- with
+    size-tiered folds the amortized cost is bounded by the tier sizes, so a
+    long-running stream keeps its file count flat without an external
+    compaction job. Replay-safe: a replayed batch re-requests the same
+    watermark, which compact_appends treats as a no-op."""
     from go_lsh_spark.operators.dedup import verify_pairs  # noqa: PLC0415
     from go_lsh_spark.sources.catalog import _shuffle_totals  # noqa: PLC0415
 
@@ -1388,6 +1400,16 @@ def start_incremental_dedup(
         pairs.unpersist()
         new_buckets.unpersist()
         sigs.unpersist()
+        if compact_every and batch_id > 0 and (batch_id + 1) % compact_every == 0:
+            comp_stats = compact_appends(spark, out_path, batch_id - 1)
+            _append_batch_metrics(
+                out_path,
+                {"batch_id": batch_id, "compaction": {
+                    t: {k: s[k] for k in
+                        ("rows", "files", "generations", "rewritten_rows")}
+                    for t, s in comp_stats.items()
+                }},
+            )
 
     return (
         clips.writeStream.option("checkpointLocation", checkpoint)

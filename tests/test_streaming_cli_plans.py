@@ -1012,3 +1012,55 @@ def test_pruned_state_read_bytes_track_fraction(spark, tmp_path):
     assert full > 0
     # 4/64 partitions = 6.25% of the data; allow generous per-file overhead
     assert pruned <= 0.25 * full, (pruned, full)
+
+
+def test_in_stream_periodic_compaction(spark, tmp_path):
+    """compact_every=N folds the append sinks mid-stream (through the
+    previous, committed batch): generations must exist after the drain, the
+    live row set must be exactly the corpus's, and the final clusters must
+    still match the batch pipeline."""
+    from go_lsh_spark.operators.dedup import dedup_pipeline
+    from go_lsh_spark.streaming.ingest import (
+        _live_rows,
+        _read_compaction,
+        read_clip_stream,
+        start_incremental_dedup,
+    )
+
+    res = synth_clips(n_clips=24, seed=7)
+    clips, _ = clips_to_spark(spark, res)
+    src = str(tmp_path / "clips_in")
+    clips.repartition(6).write.parquet(src)
+
+    cfg = DedupConfig()
+    out = str(tmp_path / "out")
+    q = start_incremental_dedup(
+        read_clip_stream(spark, src, 1), cfg, out, str(tmp_path / "ck"),
+        compact_every=2,
+    )
+    q.awaitTermination(600)
+
+    comp = _read_compaction(f"{out}/buckets")
+    assert comp is not None and comp["generations"], comp
+    # folded through the batch before the last compaction trigger
+    assert comp["compacted_through"] >= 2
+    sigs = spark.read.parquet(f"{out}/signatures").filter(
+        _live_rows(f"{out}/signatures")
+    )
+    assert sigs.select("clip_id").distinct().count() == 24
+
+    inc = {
+        r.clip_id: r.cluster_id
+        for r in spark.read.parquet(f"{out}/clusters").collect()
+    }
+    exp = {
+        r.clip_id: r.cluster_id
+        for r in dedup_pipeline(spark, clips, cfg).clusters.collect()
+    }
+    assert inc == exp
+    # the compaction telemetry made it into the batch metrics
+    lines = [
+        json.loads(line)
+        for line in (tmp_path / "out" / "_batch_metrics.jsonl").read_text().splitlines()
+    ]
+    assert any("compaction" in r for r in lines)
