@@ -157,6 +157,14 @@ class DedupConfig:
     sizing_join_max_clips: int = 50_000
     # connected components
     max_cc_iterations: int = 20
+    # streaming's per-batch connected components runs on the CONTRACTED
+    # graph (one node per touched cluster, bounded by the batch's verified
+    # pair count) -- under this cap it runs as driver union-find (one Spark
+    # job instead of the star algorithm's ~10; measured ~15s -> ~2s of a
+    # local[8] microbatch); above it, distributed CC. 200k string-id edges
+    # collect to ~20MB. The batch pipeline's corpus-scale CC never uses
+    # this dispatch -- it is always distributed.
+    cc_driver_max_edges: int = 200_000
     # --- streaming state partitioning (streaming/ingest.py) ---------------
     # Hash-partition counts for the incrementally maintained state tables
     # (clusters, cluster_index, winnow_df) and the secondary bucket-key /

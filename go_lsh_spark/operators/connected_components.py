@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def _canon(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -76,6 +77,77 @@ def _small_star(edges: DataFrame, dedup: bool = True) -> DataFrame:
         .filter(F.col("a") != F.col("b"))
     )
     return out.dropDuplicates(["a", "b"]) if dedup else out
+
+
+def connected_components_driver(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Union-find on the driver for SMALL edge sets: one collect, zero
+    shuffles, same contract as `connected_components` (component = min node
+    id; edge-less nodes not emitted). The distributed star algorithm costs
+    ~10 driver jobs (4 shuffles/double-round + convergence checksums) even
+    on a 100-edge graph -- for streaming's contracted per-batch graphs
+    (bounded by the batch's pair count, typically hundreds of edges) that
+    fixed cost dominated the whole microbatch (measured ~15s of a ~26s
+    batch at local[8]). Callers must bound the input; use
+    `connected_components_auto` to dispatch on measured size."""
+    spark = edges.sparkSession
+    node_type = edges.schema[src].dataType
+    rows = _canon(edges, src, dst).collect()
+    return _driver_cc_from_rows(spark, rows, node_type)
+
+
+def _driver_cc_from_rows(spark, rows, node_type) -> DataFrame:
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for r in rows:
+        a, b = r["a"], r["b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # attach the larger root under the smaller so the root is
+            # always the component minimum (the distributed contract)
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    out = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [StructField("node", node_type, False), StructField("component", node_type, False)]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def connected_components_auto(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_max_edges: int = 200_000,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Size-dispatched connected components: collect at most
+    `driver_max_edges`+1 canonical edges -- if the limit is not hit, run
+    driver union-find on the collected rows (the whole small case costs ONE
+    job), else fall back to the distributed star rounds. 200k string-id
+    edges collect to ~20MB, far under driver memory; above the cap the
+    distributed path is the only scale-safe choice."""
+    canon = _canon(edges, src, dst)
+    # one job for the whole small case: collect at most cap+1 rows; only
+    # when the limit is hit does the distributed path (and its shuffles) run
+    rows = canon.limit(driver_max_edges + 1).collect()
+    if len(rows) <= driver_max_edges:
+        return _driver_cc_from_rows(
+            edges.sparkSession, rows, edges.schema[src].dataType
+        )
+    return connected_components(canon, "a", "b", max_iterations=max_iterations)
 
 
 def connected_components(

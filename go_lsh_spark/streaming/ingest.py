@@ -64,7 +64,9 @@ from pyspark.sql import functions as F
 from go_lsh_spark.config import DedupConfig
 from go_lsh_spark.hyperplanes import PlaneSet
 from go_lsh_spark.functions import vector as V
-from go_lsh_spark.operators.connected_components import connected_components
+from go_lsh_spark.operators.connected_components import (
+    connected_components_auto,
+)
 from go_lsh_spark.operators.dedup import build_buckets, clips_to_signatures
 
 CLIPS_SCHEMA = (
@@ -686,6 +688,7 @@ def _update_clusters(
     new_clips: DataFrame,
     new_edges: DataFrame,
     n_parts: int = 64,
+    cc_driver_max_edges: int = 200_000,
 ) -> None:
     """Incrementally maintain the clusters table: merge this batch's verified
     pairs into stored assignments without re-running connected components
@@ -737,8 +740,9 @@ def _update_clusters(
         # Gate on _committed, not os.path.exists: Spark creates the clusters
         # directory at write START, so a crash mid-first-write must re-take
         # this branch on replay, not the incremental one (r4 ADVICE #2).
-        comp = connected_components(
-            edges.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst"))
+        comp = connected_components_auto(
+            edges.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst")),
+            driver_max_edges=cc_driver_max_edges,
         )
         assign = (
             nodes.join(comp.withColumnRenamed("node", "clip_id"), "clip_id", "left")
@@ -789,7 +793,11 @@ def _update_clusters(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    comp = connected_components(contracted)
+    # contracted graph is bounded by the batch's pair count -- in practice
+    # hundreds of edges, so this is the driver union-find path (one job)
+    comp = connected_components_auto(
+        contracted, driver_max_edges=cc_driver_max_edges
+    )
     mapping = comp.filter(F.col("node") != F.col("component")).persist()
 
     # this batch's final assignment for new clips (needed before the index
@@ -1183,8 +1191,9 @@ def reconcile(spark: SparkSession, out_path: str, cfg: DedupConfig) -> dict:
             .join(members.withColumnRenamed("clip_id", "clip_id_a"), "clip_id_a", "left_semi")
             .join(members.withColumnRenamed("clip_id", "clip_id_b"), "clip_id_b", "left_semi")
         )
-        comp = connected_components(
-            edges.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst"))
+        comp = connected_components_auto(
+            edges.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst")),
+            driver_max_edges=cfg.cc_driver_max_edges,
         )
         new_assign = (
             members.join(comp.withColumnRenamed("node", "clip_id"), "clip_id", "left")
@@ -1308,6 +1317,16 @@ def start_incremental_dedup(
             return
         t0 = time.time()
         shuf0 = _shuffle_totals(spark)
+        phases: dict[str, float] = {}
+        t_ph = time.time()
+
+        def _mark(name: str) -> None:
+            # wall time since the previous mark; each phase below ends in a
+            # Spark action (write/collect), so the boundary is truthful
+            nonlocal t_ph
+            phases[name] = round(time.time() - t_ph, 3)
+            t_ph = time.time()
+
         planes = PlaneSet(cfg.lsh_config())
         sigs = clips_to_signatures(batch_df, cfg, planes).persist()
         new_buckets = build_buckets(sigs, cfg).persist()
@@ -1317,6 +1336,7 @@ def start_incremental_dedup(
             f"{out_path}/signatures",
             extra_parts=("_spart",),
         )
+        _mark("sig_write")
         _write_batch_partition(
             new_buckets.withColumn(
                 "_kpart", _hash_part(F.xxhash64("src", "band", "hash"), cfg.key_parts)
@@ -1325,6 +1345,7 @@ def start_incremental_dedup(
             f"{out_path}/buckets",
             extra_parts=("_kpart",),
         )
+        _mark("bucket_write")
 
         # O(batch) winnow df-cap maintenance: upsert this batch's counts
         # into the partition-pruned winnow_df table; never re-aggregate the
@@ -1338,6 +1359,7 @@ def start_incremental_dedup(
             spark, out_path, batch_counts, batch_id,
             n_parts=cfg.df_parts, max_df=cfg.winnow_max_df,
         )
+        _mark("winnow_df")
 
         # old = accumulated minus THIS batch (also correct on replay):
         # partition pruning skips the current batch partition at scan time,
@@ -1351,6 +1373,7 @@ def start_incremental_dedup(
             .distinct()
             .collect()
         ]
+        _mark("kparts")
         old_buckets = read_old_buckets(spark, out_path, batch_id, new_kparts)
         pairs = _incremental_pairs(new_buckets, old_buckets, cfg, capped).persist()
 
@@ -1365,16 +1388,20 @@ def start_incremental_dedup(
             .distinct()
             .collect()
         ]
+        _mark("pair_gen")
         pair_sigs = read_pair_signatures(spark, out_path, pair_sparts)
         verified = verify_pairs(pairs, pair_sigs, cfg).persist()
         _write_batch_partition(verified, batch_id, f"{out_path}/verified_pairs")
+        _mark("verify")
         _update_clusters(
             spark,
             out_path,
             sigs.select("clip_id"),
             verified.select("clip_id_a", "clip_id_b"),
             n_parts=cfg.cluster_parts,
+            cc_driver_max_edges=cfg.cc_driver_max_edges,
         )
+        _mark("clusters")
         shuf1 = _shuffle_totals(spark)
         deltas = (
             {k: shuf1[k] - shuf0[k] for k in shuf1} if shuf0 and shuf1 else {}
@@ -1393,6 +1420,7 @@ def start_incremental_dedup(
                 "wall_secs": round(time.time() - t0, 3),
                 "touched_kparts": len(new_kparts),
                 "touched_sparts": len(pair_sparts),
+                "phase_secs": phases,
                 **deltas,
             },
         )

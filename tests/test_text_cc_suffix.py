@@ -155,6 +155,59 @@ def test_cc_random_vs_union_find(spark):
         assert c == exp_roots[n]
 
 
+def test_cc_driver_matches_distributed(spark):
+    """Driver union-find path emits the exact (node, component) mapping the
+    distributed star algorithm does, on seeded random graphs, including the
+    min-id root convention and edge-less-node exclusion."""
+    from go_lsh_spark.operators.connected_components import (
+        connected_components_auto,
+        connected_components_driver,
+    )
+
+    rng = np.random.default_rng(17)
+    for size, hi in ((40, 30), (200, 90)):
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, hi, size=(size, 2))
+            if a != b
+        ]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dist = {r.node: r.component for r in connected_components(df).collect()}
+        drv = {
+            r.node: r.component
+            for r in connected_components_driver(df).collect()
+        }
+        assert drv == dist
+        # auto below the cap takes the driver path; a cap of 0 forces the
+        # distributed fallback -- both must agree with the reference result
+        assert {
+            r.node: r.component
+            for r in connected_components_auto(df, driver_max_edges=10_000).collect()
+        } == dist
+        assert {
+            r.node: r.component
+            for r in connected_components_auto(df, driver_max_edges=0).collect()
+        } == dist
+
+
+def test_cc_driver_string_ids_and_empty(spark):
+    from go_lsh_spark.operators.connected_components import (
+        connected_components_driver,
+    )
+
+    df = spark.createDataFrame(
+        [("clip_b", "clip_c"), ("clip_a", "clip_b"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {r.node: r.component for r in connected_components_driver(df).collect()}
+    assert got["clip_a"] == got["clip_b"] == got["clip_c"] == "clip_a"
+    assert got["x"] == got["y"] == "x"
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = connected_components_driver(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "component"]
+
+
 def test_cc_string_ids(spark):
     df = spark.createDataFrame(
         [("clip_b", "clip_c"), ("clip_a", "clip_b"), ("x", "y")],
