@@ -60,9 +60,10 @@ def main(argv=None) -> int:
                     help="sizes the state-table partition counts (0 = sandbox floors)")
     st.add_argument("--timeout", type=int, default=0,
                     help="awaitTermination seconds (0 = wait until drained)")
-    st.add_argument("--compact-every", type=int, default=0,
-                    help="fold the append sinks in-stream after every N "
-                    "microbatches (size-tiered; 0 = off)")
+    st.add_argument("--compact-every", type=int, default=None,
+                    help="fold the append sinks + cluster cells in-stream "
+                    "after every N microbatches (size-tiered; 0 = off; "
+                    "default = DedupConfig.stream_compact_every)")
 
     rp = sub.add_parser("reconcile", help="compact streaming state to batch semantics")
     rp.add_argument("--out", required=True)
@@ -153,7 +154,7 @@ def main(argv=None) -> int:
                 threshold=args.threshold,
                 expected_corpus_rows=args.expected_corpus_rows,
             )
-            from go_lsh_spark.streaming.ingest import _has_parquet
+            from go_lsh_spark.streaming.ingest import _has_parquet, read_clusters
 
             stream = read_clip_stream(spark, args.clips, max_files=args.max_files)
             q = start_incremental_dedup(
@@ -176,7 +177,9 @@ def main(argv=None) -> int:
             else:
                 q.awaitTermination()
             cpath = f"{args.out}/clusters"
-            n = spark.read.parquet(cpath).count() if _has_parquet(cpath) else 0
+            # read_clusters filters to the live compaction generations, so a
+            # crashed lazy cleanup's leftover cell dirs can't double-count
+            n = read_clusters(spark, args.out).count() if _has_parquet(cpath) else 0
             print(json.dumps({"clusters_rows": n, "out": args.out}))
         elif args.cmd == "reconcile":
             from go_lsh_spark.streaming.ingest import reconcile
@@ -189,9 +192,12 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             from pyspark.sql import functions as F
 
-            from go_lsh_spark.streaming.ingest import _has_parquet, compact_appends
-
-            from go_lsh_spark.streaming.ingest import _read_compaction
+            from go_lsh_spark.streaming.ingest import (
+                _has_parquet,
+                _read_compaction,
+                compact_appends,
+                compact_clusters,
+            )
 
             through = args.through_batch
             if through < 0:
@@ -215,7 +221,7 @@ def main(argv=None) -> int:
                     c["compacted_through"]
                     for c in (
                         _read_compaction(f"{args.out}/{t}")
-                        for t in ("buckets", "signatures")
+                        for t in ("buckets", "signatures", "clusters")
                     )
                     if c
                 ]
@@ -224,7 +230,9 @@ def main(argv=None) -> int:
             if through is None:
                 print(json.dumps({}))
             else:
-                print(json.dumps(compact_appends(spark, args.out, int(through))))
+                stats = compact_appends(spark, args.out, int(through))
+                stats.update(compact_clusters(spark, args.out, int(through)))
+                print(json.dumps(stats))
         elif args.cmd == "delete":
             from go_lsh_spark.sources.catalog import Warehouse
 

@@ -165,6 +165,13 @@ class DedupConfig:
     # collect to ~20MB. The batch pipeline's corpus-scale CC never uses
     # this dispatch -- it is always distributed.
     cc_driver_max_edges: int = 200_000
+    # in-stream size-tiered compaction cadence (batches between folds of the
+    # append sinks + cluster cells). Flat per-batch cost REQUIRES a bounded
+    # live cell/file count -- without folding, every state read's file count
+    # grows O(batches) even when the bytes are pruned (the LSM invariant:
+    # reads are bounded by segment count, compaction bounds segment count).
+    # 0 disables (callers can still compact externally via the CLI).
+    stream_compact_every: int = 8
     # --- streaming state partitioning (streaming/ingest.py) ---------------
     # Hash-partition counts for the incrementally maintained state tables
     # (clusters, cluster_index, winnow_df) and the secondary bucket-key /
@@ -206,8 +213,17 @@ class DedupConfig:
 
     @property
     def cluster_parts(self) -> int:
-        """clusters + cluster_index tables: one row per clip."""
-        return self._derived_parts(self.n_cluster_parts, 1_000_000, 64)
+        """clusters + cluster_index tables: one row per clip.
+
+        Sized at ~10^8 rows per partition, NOT the 10^6 the other state
+        tables use: under the celled layout a microbatch appends one file
+        per touched (_cpart, batch) cell, so partition count divides the
+        BATCH across files (10^4 parts x 10^6-clip batch = ~100-row cells;
+        2^20 parts would mean one-row cells and a file-count explosion).
+        Reads stay cheap at the coarser grain because lookups are pruned by
+        In(clip_id) against per-file bloom filters/row-group stats, not by
+        partition count alone. 10^12 clips -> 2^14 partitions."""
+        return self._derived_parts(self.n_cluster_parts, 100_000_000, 64)
 
     @property
     def df_parts(self) -> int:

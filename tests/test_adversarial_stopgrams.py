@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from go_lsh_spark.config import DedupConfig
 from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+from go_lsh_spark.streaming.ingest import read_clusters
 
 BOILER_A = (
     "terms and conditions apply to this recording please consult the "
@@ -96,7 +97,7 @@ def test_adversarial_boilerplate_reconcile_stays_exact(spark, tmp_path):
     exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     assert got == exp
 

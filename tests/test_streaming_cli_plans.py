@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 from go_lsh_spark.config import DedupConfig
 from go_lsh_spark.plans.inspect import explain_str
 from go_lsh_spark.sources.synth import clips_to_spark, synth_clips
+from go_lsh_spark.streaming.ingest import read_clusters
 
 
 def test_streaming_signature_sink(spark, tmp_path):
@@ -200,14 +201,14 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     # (same roots: the global min clip_id of each component)
     inc = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+        for r in read_clusters(spark, str(tmp_path / "out")).collect()
     }
     exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
     assert inc == exp
 
     # partition-pruned point lookup agrees (routed through read_clusters,
     # which must keep _cpart in its projection for pruning)
-    from go_lsh_spark.streaming.ingest import cluster_of, read_clusters
+    from go_lsh_spark.streaming.ingest import cluster_of
 
     some_clip = next(iter(exp))
     assert cluster_of(spark, str(tmp_path / "out"), some_clip) == exp[some_clip]
@@ -234,8 +235,10 @@ def test_streaming_incremental_dedup(spark, tmp_path):
     # per-batch reads stayed bounded by the batch's touched partitions
     metrics_path = tmp_path / "out" / "_batch_metrics.jsonl"
     records = [json.loads(line) for line in metrics_path.read_text().splitlines()]
-    assert len(records) >= 2
-    assert all("touched_kparts" in r and "wall_secs" in r for r in records)
+    # in-stream compaction logs its own record without per-batch fields
+    batch_records = [r for r in records if "wall_secs" in r]
+    assert len(batch_records) >= 2
+    assert all("touched_kparts" in r for r in batch_records)
 
 
 @pytest.mark.slow
@@ -284,7 +287,16 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
 
     metrics_path = tmp_path / "out" / "_batch_metrics.jsonl"
     records = sorted(
-        (json.loads(line) for line in metrics_path.read_text().splitlines()),
+        (
+            r
+            for r in (
+                json.loads(line)
+                for line in metrics_path.read_text().splitlines()
+            )
+            # in-stream compaction logs its own record; the flatness claim
+            # is about the per-batch processing cost
+            if "wall_secs" in r
+        ),
         key=lambda r: r["batch_id"],
     )
     assert len(records) >= 8
@@ -302,7 +314,7 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
 
     inc_live = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+        for r in read_clusters(spark, str(tmp_path / "out")).collect()
     }
     # 1. coarsening: clips the batch pipeline groups together are together
     #    in the live streaming state too (merges are a superset)
@@ -317,14 +329,14 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
     stats = reconcile(spark, str(tmp_path / "out"), cfg)
     inc = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+        for r in read_clusters(spark, str(tmp_path / "out")).collect()
     }
     assert inc == exp
     stats2 = reconcile(spark, str(tmp_path / "out"), cfg)
     assert stats2["dropped_pairs"] == 0
     inc2 = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(str(tmp_path / "out" / "clusters")).collect()
+        for r in read_clusters(spark, str(tmp_path / "out")).collect()
     }
     assert inc2 == exp
 
@@ -464,7 +476,7 @@ def test_cluster_update_replay_after_partial_crash(spark, tmp_path):
     root = str(tmp_path / "st")
     clips1 = spark.createDataFrame([(c,) for c in "abcd"], "clip_id string")
     edges1 = spark.createDataFrame([("a", "b")], "clip_id_a string, clip_id_b string")
-    _update_clusters(spark, root, clips1, edges1)
+    _update_clusters(spark, root, clips1, edges1, 0)
 
     # snapshot state before batch 2
     shutil.copytree(f"{root}/clusters", str(tmp_path / "clusters_pre"))
@@ -472,10 +484,10 @@ def test_cluster_update_replay_after_partial_crash(spark, tmp_path):
     edges2 = spark.createDataFrame(
         [("b", "c"), ("d", "e")], "clip_id_a string, clip_id_b string"
     )
-    _update_clusters(spark, root, clips2, edges2)
+    _update_clusters(spark, root, clips2, edges2, 1)
     expected = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{root}/clusters").collect()
+        for r in read_clusters(spark, root).collect()
     }
     assert expected == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
 
@@ -483,10 +495,10 @@ def test_cluster_update_replay_after_partial_crash(spark, tmp_path):
     # batch-2 update (the order the code writes them in)
     shutil.rmtree(f"{root}/clusters")
     shutil.copytree(str(tmp_path / "clusters_pre"), f"{root}/clusters")
-    _update_clusters(spark, root, clips2, edges2)  # replay
+    _update_clusters(spark, root, clips2, edges2, 1)  # replay
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{root}/clusters").collect()
+        for r in read_clusters(spark, root).collect()
     }
     assert got == expected
     # index facts cover every (cluster, partition) that holds rows
@@ -579,7 +591,7 @@ def test_compact_appends_preserves_state_and_stream_resumes(spark, tmp_path):
     q.awaitTermination(300)
     inc = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     batch = dedup_pipeline(spark, clips, cfg)
     exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
@@ -607,8 +619,8 @@ def test_partition_count_derivation():
     cfg = DedupConfig()
     assert (cfg.cluster_parts, cfg.df_parts) == (64, 32)
     big = DedupConfig(expected_corpus_rows=10**12)
-    assert big.cluster_parts == 1 << 20  # 10^12 clips / 1M rows per part
-    assert big.cluster_parts * 1_000_000 >= 10**12
+    assert big.cluster_parts == 1 << 14  # 10^12 clips / 10^8 rows per part
+    assert big.cluster_parts * 100_000_000 >= 10**12
     explicit = DedupConfig(n_cluster_parts=128, expected_corpus_rows=10**12)
     assert explicit.cluster_parts == 128
 
@@ -630,15 +642,15 @@ def test_streaming_replay_idempotent(spark, tmp_path):
     clips1 = spark.createDataFrame([("a",), ("b",), ("c",)], "clip_id string")
     edges1 = spark.createDataFrame([("a", "b")], "clip_id_a string, clip_id_b string")
     root = str(tmp_path / "st")
-    _update_clusters(spark, root, clips1, edges1)
+    _update_clusters(spark, root, clips1, edges1, 0)
     clips2 = spark.createDataFrame([("d",)], "clip_id string")
     edges2 = spark.createDataFrame([("b", "c"), ("c", "d")], "clip_id_a string, clip_id_b string")
     for _ in range(2):  # second application = replay, must converge identically
-        _update_clusters(spark, root, clips2, edges2)
+        _update_clusters(spark, root, clips2, edges2, 1)
         got = {
-            r.clip_id: r.cluster_id
-            for r in spark.read.parquet(f"{root}/clusters").collect()
-        }
+        r.clip_id: r.cluster_id
+        for r in read_clusters(spark, root).collect()
+    }
         assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
 
 
@@ -701,6 +713,7 @@ def _build_reconcile_state(spark, out, cfg, with_survivor_batch):
         out,
         spark.createDataFrame(clips, "clip_id string"),
         spark.createDataFrame(edges, "clip_id_a string, clip_id_b string"),
+        1,
         n_parts=cfg.cluster_parts,
     )
 
@@ -728,7 +741,7 @@ def test_reconcile_clears_batch_partition_with_no_survivors(spark, tmp_path):
     # the stop-gram merge is actually undone
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     assert got == {"x": "x", "y": "y", "p": "p", "q": "p"}
     # idempotent
@@ -736,7 +749,7 @@ def test_reconcile_clears_batch_partition_with_no_survivors(spark, tmp_path):
     assert stats2["dropped_pairs"] == 0
     got2 = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     assert got2 == got
 
@@ -756,7 +769,7 @@ def test_reconcile_when_every_stored_pair_drops(spark, tmp_path):
     assert not _has_parquet(f"{out}/verified_pairs")
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     assert got == {"x": "x", "y": "y"}
     stats2 = reconcile(spark, out, cfg)
@@ -780,26 +793,26 @@ def test_update_clusters_creation_crash_and_missing_index(spark, tmp_path):
     edges1 = spark.createDataFrame(
         [("a", "b")], "clip_id_a string, clip_id_b string"
     )
-    _update_clusters(spark, root, clips1, edges1)
+    _update_clusters(spark, root, clips1, edges1, 0)
     expected1 = {"a": "a", "b": "a", "c": "c", "d": "d"}
 
     # (a) crash between index write and clusters write: index committed,
     # clusters directory exists but is empty (Spark creates it at start)
     shutil.rmtree(f"{root}/clusters")
     os.makedirs(f"{root}/clusters")
-    _update_clusters(spark, root, clips1, edges1)
+    _update_clusters(spark, root, clips1, edges1, 0)
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{root}/clusters").collect()
+        for r in read_clusters(spark, root).collect()
     }
     assert got == expected1
 
     # (b) partial clusters write: data files present but no _SUCCESS
     os.remove(f"{root}/clusters/_SUCCESS")
-    _update_clusters(spark, root, clips1, edges1)
+    _update_clusters(spark, root, clips1, edges1, 0)
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{root}/clusters").collect()
+        for r in read_clusters(spark, root).collect()
     }
     assert got == expected1
 
@@ -810,10 +823,10 @@ def test_update_clusters_creation_crash_and_missing_index(spark, tmp_path):
     edges2 = spark.createDataFrame(
         [("b", "c")], "clip_id_a string, clip_id_b string"
     )
-    _update_clusters(spark, root, clips2, edges2)
+    _update_clusters(spark, root, clips2, edges2, 1)
     got = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{root}/clusters").collect()
+        for r in read_clusters(spark, root).collect()
     }
     assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e"}
     truth = {
@@ -1051,7 +1064,7 @@ def test_in_stream_periodic_compaction(spark, tmp_path):
 
     inc = {
         r.clip_id: r.cluster_id
-        for r in spark.read.parquet(f"{out}/clusters").collect()
+        for r in read_clusters(spark, out).collect()
     }
     exp = {
         r.clip_id: r.cluster_id
@@ -1064,3 +1077,159 @@ def test_in_stream_periodic_compaction(spark, tmp_path):
         for line in (tmp_path / "out" / "_batch_metrics.jsonl").read_text().splitlines()
     ]
     assert any("compaction" in r for r in lines)
+
+
+def _cell_files(root):
+    """{relative parquet path: mtime} for every data file under a table."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for fn in files:
+            if fn.endswith(".parquet"):
+                p = os.path.join(dirpath, fn)
+                out[os.path.relpath(p, root)] = os.path.getmtime(p)
+    return out
+
+
+def test_cluster_cells_append_only_and_pruned_lookup(spark, tmp_path):
+    """The clusters table is cell-partitioned (_cpart x _batch_id): a batch
+    with no cross-batch merges APPENDS its own cells and leaves every prior
+    cell file byte-identical on disk (the O(batch) claim at the filesystem
+    level -- the previous layout rewrote every partition the batch's clip
+    hashes touched, i.e. all of them). Cross-batch merges rewrite ONLY
+    cells inside the index-derived rectangle plus the batch's own cells.
+    The endpoint lookup partition-prunes by _cpart AND pushes an
+    In(clip_id) literal into the parquet scan."""
+    from go_lsh_spark.streaming.ingest import (
+        _lookup_assignments,
+        _update_clusters,
+    )
+
+    root = str(tmp_path / "st")
+    clips0 = spark.createDataFrame([(c,) for c in "abcd"], "clip_id string")
+    edges0 = spark.createDataFrame([("a", "b")], "clip_id_a string, clip_id_b string")
+    _update_clusters(spark, root, clips0, edges0, 0)
+    pre = _cell_files(f"{root}/clusters")
+
+    # batch 1: no cross-batch merge -> pure append
+    clips1 = spark.createDataFrame([(c,) for c in "efgh"], "clip_id string")
+    edges1 = spark.createDataFrame([("e", "f")], "clip_id_a string, clip_id_b string")
+    _update_clusters(spark, root, clips1, edges1, 1)
+    post = _cell_files(f"{root}/clusters")
+    assert all(post[p] == m for p, m in pre.items()), "prior cells were rewritten"
+    assert any("_batch_id=1" in p for p in post), "batch 1 cells missing"
+
+    # pruned point lookup: partition filter on _cpart, In(clip_id) pushed
+    keys = spark.createDataFrame([("b",), ("e",)], "clip_id string")
+    got = {
+        r.clip_id: r.cluster_id
+        for r in _lookup_assignments(spark, f"{root}/clusters", keys, 64).collect()
+    }
+    assert got == {"b": "a", "e": "e"}
+    plan = explain_str(_lookup_assignments(spark, f"{root}/clusters", keys, 64), "formatted")
+    frag = plan.split("PartitionFilters")[1][:300]
+    assert "_cpart" in frag
+    assert "clip_id" in plan.split("PushedFilters")[1][:300]
+
+    # batch 2: merge across batches (b in cluster a, e in cluster e) -- the
+    # only prior cells allowed to change are those the index lists for the
+    # merging ids (rectangle), everything else stays byte-identical
+    from go_lsh_spark.streaming.ingest import _cpart as cpart_col
+
+    idx = spark.read.parquet(f"{root}/cluster_index")
+    cells = {
+        (r.cpart, r._batch_id)
+        for r in idx.filter(F.col("cluster_id").isin(["a", "e"])).collect()
+    }
+    cps = {c for c, _b in cells}
+    bps = {b for _c, b in cells}
+    pre2 = _cell_files(f"{root}/clusters")
+    clips2 = spark.createDataFrame([("i",)], "clip_id string")
+    edges2 = spark.createDataFrame([("b", "e")], "clip_id_a string, clip_id_b string")
+    _update_clusters(spark, root, clips2, edges2, 2)
+    post2 = _cell_files(f"{root}/clusters")
+    for p, m in pre2.items():
+        if p in post2 and post2[p] != m:
+            import re as _re
+
+            cp = int(_re.search(r"_cpart=(\d+)", p).group(1))
+            bp = int(_re.search(r"_batch_id=(-?\d+)", p).group(1))
+            assert cp in cps and bp in bps, f"cell outside merge rectangle rewritten: {p}"
+    got = {
+        r.clip_id: r.cluster_id
+        for r in read_clusters(spark, root).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "c", "d": "d",
+        "e": "a", "f": "a", "g": "g", "h": "h", "i": "i",
+    }
+
+
+@pytest.mark.slow
+def test_compact_clusters_folds_cells_and_index_in_lockstep(spark, tmp_path):
+    """compact_clusters folds committed cluster cells into a generation and
+    regenerates the index facts from the folded rows: live assignments are
+    exactly preserved, facts reference the generation cells, superseded
+    dirs are cleaned, and a LATER merge touching a folded cluster finds and
+    rewrites the generation cell through the index."""
+    from go_lsh_spark.streaming.ingest import (
+        _update_clusters,
+        compact_clusters,
+        ensure_state_meta,
+        read_clusters,
+    )
+
+    root = str(tmp_path / "st")
+    ensure_state_meta(root, DedupConfig())
+    for b, (clips, edges) in enumerate([
+        ("abcd", [("a", "b")]),
+        ("efgh", [("e", "f"), ("b", "c")]),
+        ("ijkl", [("i", "j")]),
+    ]):
+        _update_clusters(
+            spark,
+            root,
+            spark.createDataFrame([(c,) for c in clips], "clip_id string"),
+            spark.createDataFrame(edges, "clip_id_a string, clip_id_b string"),
+            b,
+        )
+    before = {r.clip_id: r.cluster_id for r in read_clusters(spark, root).collect()}
+    stats = compact_clusters(spark, root, 2)
+    assert stats["clusters"]["generations"] == [1]
+    after = {r.clip_id: r.cluster_id for r in read_clusters(spark, root).collect()}
+    assert after == before
+    # every live fact references the generation cell; batch dirs are gone
+    idx = spark.read.parquet(f"{root}/cluster_index")
+    assert {r._batch_id for r in idx.collect()} == {-1}
+    assert all("_batch_id=-1" in p for p in _cell_files(f"{root}/clusters"))
+
+    # a later merge joining the FOLDED e-cluster to the a-cluster: the index
+    # must route the rewrite to the generation cell holding e/f's rows
+    _update_clusters(
+        spark,
+        root,
+        spark.createDataFrame([("m",)], "clip_id string"),
+        spark.createDataFrame(
+            [("m", "e"), ("m", "b")], "clip_id_a string, clip_id_b string"
+        ),
+        3,
+    )
+    got = {r.clip_id: r.cluster_id for r in read_clusters(spark, root).collect()}
+    exp = dict(before, m="a")
+    exp["e"] = "a"
+    exp["f"] = "a"
+    assert got == exp
+
+    # second compaction with a tiny new tier and merge_ratio below the
+    # absorb threshold: the big generation must NOT be rewritten (bounded
+    # write amplification), leaving two live generations
+    pre = _cell_files(f"{root}/clusters")
+    gen1_files = {p: m for p, m in pre.items() if "_batch_id=-1" in p}
+    stats2 = compact_clusters(spark, root, 3, merge_ratio=0.5)
+    assert sorted(stats2["clusters"]["generations"]) == [1, 2]
+    post = _cell_files(f"{root}/clusters")
+    changed_gen1 = [p for p, m in gen1_files.items() if post.get(p) != m]
+    assert changed_gen1 == [], f"generation 1 rewritten: {changed_gen1}"
+    got2 = {r.clip_id: r.cluster_id for r in read_clusters(spark, root).collect()}
+    assert got2 == exp

@@ -124,7 +124,7 @@ sys.path.insert(0, {repo!r})
 from go_lsh_spark.session import build_session
 from go_lsh_spark.config import DedupConfig
 from go_lsh_spark.streaming.ingest import (
-    read_clip_stream, reconcile, start_incremental_dedup,
+    read_clip_stream, read_clusters, reconcile, start_incremental_dedup,
 )
 # same JVM confinement story as the batch child (see CHILD)
 spark = build_session(app_name="scaling-stream", master="local[{cores}]",
@@ -148,7 +148,9 @@ q = start_incremental_dedup(
 q.awaitTermination()
 reconcile(spark, out, cfg)
 from pyspark.sql import functions as F
-row = spark.read.parquet(out + "/clusters").agg(
+# read_clusters resolves stored rows through the cluster_remap redirect
+# delta -- the raw cells keep the root current at write time by design
+row = read_clusters(spark, out).agg(
     F.count(F.lit(1)).alias("n_rows"),
     F.countDistinct("cluster_id").alias("n_clusters"),
     F.bit_xor(F.xxhash64("clip_id", "cluster_id")).alias("checksum"),
