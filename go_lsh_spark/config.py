@@ -171,7 +171,7 @@ class DedupConfig:
     # grows O(batches) even when the bytes are pruned (the LSM invariant:
     # reads are bounded by segment count, compaction bounds segment count).
     # 0 disables (callers can still compact externally via the CLI).
-    stream_compact_every: int = 8
+    stream_compact_every: int = 4
     # --- streaming state partitioning (streaming/ingest.py) ---------------
     # Hash-partition counts for the incrementally maintained state tables
     # (clusters, cluster_index, winnow_df) and the secondary bucket-key /

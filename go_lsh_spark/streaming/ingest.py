@@ -896,7 +896,7 @@ def _lookup_assignments(
     path: str,
     keys: DataFrame,
     n_parts: int,
-    lookup_isin_max: int = 10_000,
+    lookup_isin_max: int = 100_000,
 ) -> DataFrame:
     """Point lookup of current cluster assignments for a bounded key set
     (clip_id column): partition-pruned by the keys' _cpart cells and --
@@ -905,6 +905,12 @@ def _lookup_assignments(
     filters / row-group stats skip non-matching files of each cell. Cost
     is O(keys x matching row groups), never a table scan. Above the inline
     cap it degrades to a cpart-pruned scan + broadcast semi-join."""
+    # Spark only pushes an In() into the parquet scan when its value count
+    # is at or below spark.sql.parquet.pushdown.inFilterThreshold (default
+    # 10!) -- without raising it the literal path never reaches the per-file
+    # bloom filters and silently degrades to a full scan of the touched
+    # partitions with a post-scan filter
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "500000")
     info = (
         keys.select("clip_id", _cpart(F.col("clip_id"), n_parts).alias("p"))
         .limit(lookup_isin_max + 1)
@@ -1016,7 +1022,7 @@ def _update_clusters(
     batch_id: int,
     n_parts: int = 64,
     cc_driver_max_edges: int = 200_000,
-    lookup_isin_max: int = 10_000,
+    lookup_isin_max: int = 100_000,
 ) -> None:
     """Incrementally maintain cluster assignments at O(batch + pairs) cost,
     with ZERO rewrites of stored rows on the hot path.
