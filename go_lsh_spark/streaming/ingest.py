@@ -891,6 +891,9 @@ def _cell_predicate(cells: list[tuple[int, int]]) -> F.Column:
     return pred if pred is not None else F.lit(False)
 
 
+_LOOKUP_CHUNK = 2000
+
+
 def _lookup_assignments(
     spark: SparkSession,
     path: str,
@@ -909,8 +912,16 @@ def _lookup_assignments(
     # is at or below spark.sql.parquet.pushdown.inFilterThreshold (default
     # 10!) -- without raising it the literal path never reaches the per-file
     # bloom filters and silently degrades to a full scan of the touched
-    # partitions with a post-scan filter
-    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "500000")
+    # partitions with a post-scan filter. It cannot simply be raised to the
+    # full key-set size either: parquet builds the pushed In as a linearly
+    # nested OR tree, and ~20k terms overflow the task stack (observed
+    # java.lang.StackOverflowError inside FileScanRDD at 100k-clip scale).
+    # So the lookup is CHUNKED: scan branches of <=_LOOKUP_CHUNK keys, each
+    # pruned to its own cparts and bloom-checked, unioned into one plan /
+    # one job.
+    spark.conf.set(
+        "spark.sql.parquet.pushdown.inFilterThreshold", str(2 * _LOOKUP_CHUNK)
+    )
     info = (
         keys.select("clip_id", _cpart(F.col("clip_id"), n_parts).alias("p"))
         .limit(lookup_isin_max + 1)
@@ -920,11 +931,19 @@ def _lookup_assignments(
     if not info:
         return prior.filter(F.lit(False)).select("clip_id", "cluster_id")
     if len(info) <= lookup_isin_max:
-        ids = [r["clip_id"] for r in info]
-        return prior.filter(
-            F.col("_cpart").isin(sorted({r["p"] for r in info}))
-            & F.col("clip_id").isin(ids)
-        ).select("clip_id", "cluster_id")
+        from functools import reduce  # noqa: PLC0415
+
+        info = sorted(info, key=lambda r: (r["p"], r["clip_id"]))
+        branches = []
+        for i in range(0, len(info), _LOOKUP_CHUNK):
+            chunk = info[i : i + _LOOKUP_CHUNK]
+            branches.append(
+                prior.filter(
+                    F.col("_cpart").isin(sorted({r["p"] for r in chunk}))
+                    & F.col("clip_id").isin([r["clip_id"] for r in chunk])
+                ).select("clip_id", "cluster_id")
+            )
+        return reduce(lambda a, b: a.unionByName(b), branches)
     cparts = [
         r["p"]
         for r in keys.select(_cpart(F.col("clip_id"), n_parts).alias("p"))

@@ -190,9 +190,12 @@ def run_child(code: str) -> dict:
         MKL_NUM_THREADS="1",
     )
     out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True,
+        [sys.executable, "-c", code], capture_output=True, text=True,
         cwd=REPO, env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child failed with code {out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
