@@ -16,7 +16,15 @@ def spark():
         app_name="go-lsh-spark-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.session.timeZone": "UTC"},
+        extra_conf={
+            "spark.sql.session.timeZone": "UTC",
+            # the full suite runs thousands of stages in one session; the
+            # AppStatusStore's default retention (1000) trims old stages
+            # mid-suite, which makes cumulative _shuffle_totals deltas go
+            # BACKWARDS and flips the shuffle-width assertions into flakes
+            "spark.ui.retainedStages": "50000",
+            "spark.ui.retainedJobs": "20000",
+        },
     )
     yield s
     s.stop()

@@ -294,6 +294,13 @@ def test_deferred_transcript_join_narrows_verify_shuffle(spark, corpus, cfg):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     pairs.unpersist()
     sigs.unpersist()
+    if narrow < 0 or wide < 0:
+        # the AppStatusStore trimmed stages between the two samples (the
+        # exact hazard ingest.py's metrics path already guards against:
+        # cumulative totals go backwards) -- the delta is garbage, not
+        # evidence against the plan; conftest raises retainedStages to make
+        # this unreachable in practice
+        pytest.skip(f"AppStatusStore trimmed stages mid-measurement: {(narrow, wide)}")
     assert 0 < narrow < wide, (narrow, wide)
 
 
@@ -328,14 +335,45 @@ def test_sizing_plans_produce_identical_pairs(spark):
     def norm(df):
         return sorted(tuple(r) for r in df.collect())
 
-    small = candidate_pairs(buckets, cfg, n_clips=10)
+    small = candidate_pairs(buckets, cfg, n_clips=10)  # broadcast tier
+    mid = candidate_pairs(buckets, cfg, n_clips=30_000)  # sizes join + shuffle_hash
     large = candidate_pairs(buckets, cfg, n_clips=10**9)
     default = candidate_pairs(buckets, cfg)  # unknown count -> large plan
-    assert norm(small) == norm(large) == norm(default)
+    assert norm(small) == norm(mid) == norm(large) == norm(default)
     # and the hot bucket actually produced its full pair set
     got = {(r.clip_id_a, r.clip_id_b) for r in small.collect()}
     assert {("h0", "h1"), ("h5", "h6"), ("r0", "r1"), ("k0", "k2")} <= got
     assert not any(a.startswith("c") for a, _ in got)
+
+
+def test_verify_broadcast_tier_produces_identical_rows(spark, corpus, cfg):
+    """verify_pairs' broadcast tier (n_clips <= broadcast_join_max_clips
+    swaps the shuffle_hash hints for broadcast ones) must emit the
+    IDENTICAL verified-pair rows as the at-scale shuffled plan -- the join
+    strategy is a cost decision, never a semantic one."""
+    from go_lsh_spark.hyperplanes import PlaneSet
+    from go_lsh_spark.operators.dedup import (
+        build_buckets,
+        candidate_pairs,
+        clips_to_signatures,
+        verify_pairs,
+    )
+    from go_lsh_spark.sources.synth import clips_to_spark
+
+    df, _ = clips_to_spark(spark, corpus)
+    sigs = clips_to_signatures(df, cfg, PlaneSet(cfg.lsh_config())).persist()
+    pairs = candidate_pairs(build_buckets(sigs, cfg), cfg).persist()
+
+    def norm(vdf):
+        return sorted(tuple(r) for r in vdf.collect())
+
+    tiny = verify_pairs(pairs, sigs, cfg, n_clips=10)
+    scale = verify_pairs(pairs, sigs, cfg, n_clips=10**9)
+    default = verify_pairs(pairs, sigs, cfg)  # unknown count -> scale plan
+    assert norm(tiny) == norm(scale) == norm(default)
+    assert len(norm(tiny)) > 0
+    pairs.unpersist()
+    sigs.unpersist()
 
 
 def test_early_hamming_filter_equals_verify_semantics(spark, corpus, cfg):

@@ -283,8 +283,6 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
     # test_partition_count_derivation) a batch touches a bounded fraction
     # and the read is O(batch keys x rows-per-partition). The byte-level
     # pruning law is pinned by test_pruned_state_read_bytes_track_fraction.
-    import statistics
-
     metrics_path = tmp_path / "out" / "_batch_metrics.jsonl"
     records = sorted(
         (
@@ -300,8 +298,12 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
         key=lambda r: r["batch_id"],
     )
     assert len(records) >= 8
-    early = statistics.median(r["wall_secs"] for r in records[:4])
-    late = statistics.median(r["wall_secs"] for r in records[-4:])
+    # MIN of each window, not median: a co-tenant storm inflates walls but
+    # never deflates them, so the minimum is the storm-robust estimator of
+    # the true per-batch cost (the r5 in-suite flake was a median blown up
+    # by a degraded window, passing in isolation)
+    early = min(r["wall_secs"] for r in records[:4])
+    late = min(r["wall_secs"] for r in records[-4:])
     assert late <= 1.6 * early, (
         f"per-batch wall grew {early:.1f}s -> {late:.1f}s over "
         f"{len(records)} fixed-size batches: "
@@ -566,9 +568,17 @@ def test_compact_appends_preserves_state_and_stream_resumes(spark, tmp_path):
     through = (
         spark.read.parquet(bpath).agg(F.max("_batch_id")).collect()[0][0]
     )
-    # keep one batch dir aside to simulate lazy-cleanup garbage surviving
+    # keep one batch dir aside to simulate lazy-cleanup garbage surviving.
+    # Must be a NON-NEGATIVE batch partition: with in-stream compaction on
+    # by default (stream_compact_every=4) the listing also contains live
+    # generation dirs (_batch_id=-g) that sort first, survive the compact
+    # below as merged tiers, and would make the copy-back collide -- the
+    # garbage this simulates is a superseded *batch* dir, which compaction
+    # always removes
     some_dir = next(
-        d for d in sorted(__import__("os").listdir(bpath)) if d.startswith("_batch_id=")
+        d
+        for d in sorted(__import__("os").listdir(bpath))
+        if d.startswith("_batch_id=") and not d.startswith("_batch_id=-")
     )
     shutil.copytree(f"{bpath}/{some_dir}", str(tmp_path / "garbage"))
 
