@@ -155,15 +155,23 @@ class DedupConfig:
     # the candidate stage at 500k clips). The crossover is corpus-shaped;
     # 50k is a heuristic midpoint between the two measured scales.
     sizing_join_max_clips: int = 50_000
+    # broadcast tier (below the sizing tier): at or below this many clips
+    # the whole cold bucket table (~60 rows/clip x ~40B) fits comfortably
+    # under a broadcast, so the candidate self-join and the verify
+    # signature joins use broadcast hash joins -- zero exchanges of the
+    # bucket/pair stream -- instead of the shuffled hash joins that are the
+    # only safe choice at corpus scale. Same rows out; at 2k clips the
+    # shuffled plan's ~6 exchanges were pure fixed cost.
+    broadcast_join_max_clips: int = 20_000
     # connected components
     max_cc_iterations: int = 20
-    # streaming's per-batch connected components runs on the CONTRACTED
-    # graph (one node per touched cluster, bounded by the batch's verified
-    # pair count) -- under this cap it runs as driver union-find (one Spark
-    # job instead of the star algorithm's ~10; measured ~15s -> ~2s of a
-    # local[8] microbatch); above it, distributed CC. 200k string-id edges
-    # collect to ~20MB. The batch pipeline's corpus-scale CC never uses
-    # this dispatch -- it is always distributed.
+    # connected components on BOUNDED edge sets run as driver union-find
+    # (one Spark job instead of the star algorithm's ~10; measured ~15s ->
+    # ~2s of a local[8] microbatch); above the cap, distributed CC. 200k
+    # string-id edges collect to ~20MB. Used by streaming's per-batch CC on
+    # the contracted graph (bounded by the batch's verified pair count) and
+    # by the batch pipeline's size-dispatched cluster_assignments (falls
+    # back to distributed star rounds above the cap).
     cc_driver_max_edges: int = 200_000
     # in-stream size-tiered compaction cadence (batches between folds of the
     # append sinks + cluster cells). Flat per-batch cost REQUIRES a bounded

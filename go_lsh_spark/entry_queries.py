@@ -51,31 +51,64 @@ def _planes() -> np.ndarray:
     return PlaneSet(cfg).tensor
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _read(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if not parallel:
+        # queries that are a single cheap aggregation over the scan opt out:
+        # for them the spread exchange costs more than the parallelism buys
+        return df
+    # The driver's small-SF parquet files hold a single row group, so the
+    # scan plans as ONE task and every expression-heavy projection above it
+    # (md5 shingle hashing, 16 hyperplane dot products per row, ...) runs
+    # single-threaded. Spread the rows across the session's cores with one
+    # tiny round-robin exchange -- gated on the MEASURED scan parallelism so
+    # a wide production scan (many row groups / files) is left untouched.
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    return df
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Compute a reused subtree once per query invocation: a LAZY local
+    checkpoint materializes inside the query's own action and every other
+    branch of the plan reads the stored partitions instead of recomputing
+    the subtree (the guide's plan-truncation device, §3.3/§5). Nothing
+    persists across invocations -- each call builds a fresh RDD, so every
+    bench/oracle run still computes from the parquet inputs."""
+    return df.localCheckpoint(eager=False)
 
 
 def _emb_double(df: DataFrame) -> DataFrame:
     return df.withColumn("emb", F.col("embedding").cast("array<double>"))
 
 
-def _plane_lit(plane: np.ndarray) -> "F.Column":
-    return F.array(*[F.lit(float(x)) for x in plane])
+@lru_cache(maxsize=None)
+def _plane_lit_cached(t: int, i: int) -> "F.Column":
+    # one Literal(array) per plane instead of 64 py4j F.lit round trips per
+    # use: Column objects are plain expression wrappers, reusable across
+    # DataFrames, and the plane tensor is seeded config, not data
+    plane = _planes()[t, i]
+    try:
+        return F.lit([float(x) for x in plane])
+    except Exception:  # noqa: BLE001 -- older lit() without array support
+        return F.array(*[F.lit(float(x)) for x in plane])
 
 
-def _dot_plane(emb, plane: np.ndarray):
-    return V.dot(emb, _plane_lit(plane))
+def _dot_plane(emb, t: int, i: int):
+    return V.dot(emb, _plane_lit_cached(t, i))
 
 
 def _hash_col(emb, t: int):
     """Bucket hash of table t: bit i set iff dot(plane_{t,i}, v) > 0, MSB
     first (hyperplanes/hyperplanes.go:103-128). L2-normalizing first is a
     sign-hash no-op, so both engines skip it."""
-    planes = _planes()
     acc = F.lit(0)
     for i in range(N_HYPER):
         bit = 1 << (N_HYPER - 1 - i)
-        acc = acc + F.when(_dot_plane(emb, planes[t, i]) > 0.0, F.lit(bit)).otherwise(F.lit(0))
+        acc = acc + F.when(_dot_plane(emb, t, i) > 0.0, F.lit(bit)).otherwise(F.lit(0))
     return acc
 
 
@@ -104,8 +137,7 @@ _SQL_EMB = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 # ---------------------------------------------------------------------------
 
 
-def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+def _buckets_from(emb: DataFrame) -> DataFrame:
     parts = [
         emb.select(
             "vec_id",
@@ -118,6 +150,10 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _buckets_from(_emb_double(_read(spark, sf_dir, "embeddings")))
 
 
 def sql_simhash_buckets() -> str:
@@ -134,7 +170,9 @@ def sql_simhash_buckets() -> str:
 
 
 def q_bucket_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = q_simhash_buckets(spark, sf_dir)
+    # both sides of the self-join read the same bucket table: materialize it
+    # once (was: the scan + 16 hyperplane dots per row computed twice)
+    b = _materialize(q_simhash_buckets(spark, sf_dir))
     return (
         b.alias("a")
         .join(
@@ -168,7 +206,8 @@ def sql_bucket_join_pairs() -> str:
 
 
 def _pairs_with_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    # emb feeds both join sides -- materialize the cast once
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
     pairs = q_bucket_join_pairs(spark, sf_dir)
     ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
@@ -228,10 +267,7 @@ def sql_threshold_filter() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-K neighbors for query ids < N_QUERIES
-    (the ANN baseline; O12 window top-K)."""
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+def _topk_cosine_from(emb: DataFrame) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -255,6 +291,13 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-K neighbors for query ids < N_QUERIES
+    (the ANN baseline; O12 window top-K). emb is materialized once -- the
+    query and candidate sides of the cross join read the same subtree."""
+    return _topk_cosine_from(_materialize(_emb_double(_read(spark, sf_dir, "embeddings"))))
+
+
 def sql_topk_cosine() -> str:
     return f"""
     WITH embd AS (SELECT vec_id, {_SQL_EMB} AS embd FROM embeddings),
@@ -272,11 +315,7 @@ def sql_topk_cosine() -> str:
     """
 
 
-def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN: candidates restricted to bucket collisions (the
-    scale path; brute-force cross join above is the small-N baseline)."""
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
-    b = q_simhash_buckets(spark, sf_dir)
+def _ann_lsh_from(emb: DataFrame, b: DataFrame) -> DataFrame:
     qb = b.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "table_id", "hash"
     )
@@ -305,6 +344,16 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOPK)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to bucket collisions (the
+    scale path; brute-force cross join above is the small-N baseline).
+    One materialized embeddings subtree feeds the bucket table AND both
+    score-join sides (was: three separate scan+hash subtrees)."""
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+    b = _materialize(_buckets_from(emb))
+    return _ann_lsh_from(emb, b)
 
 
 def sql_ann_lsh() -> str:
@@ -360,7 +409,7 @@ def sql_delete_antijoin() -> str:
 def q_sign_dual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union of the positive and negated-query bucket keys (lsh/lsh.go:
     163-166): per vec_id the distinct {hash(v), hash(-v)} set for table 0."""
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
     neg = emb.withColumn("emb", F.transform("emb", lambda x: -x))
     pos_h = emb.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
     neg_h = neg.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
@@ -411,7 +460,7 @@ def sql_stats_curve() -> str:
 def q_row_index_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row bucketing + lag window (tables/tables.go:77,109-127): events per
     7200s row bucket within +/-86400s of the corpus midpoint."""
-    ev = _read(spark, sf_dir, "events").withColumn(
+    ev = _read(spark, sf_dir, "events", parallel=False).withColumn(
         "idx", F.unix_timestamp("ts").cast("long")
     )
     # F.floor to match the DuckDB oracle's integer // exactly (a double
@@ -446,7 +495,7 @@ def sql_row_index_pruning() -> str:
 
 
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents", parallel=False)
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -555,14 +604,50 @@ MINHASH_PERMS = 8
 SHINGLE_K = 5
 
 
+def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, _sig array<long>): MinHash signatures with the md5 work
+    deduplicated at CORPUS level. Natural text repeats shingles heavily
+    across documents (sf0.1: 1.02M per-doc shingle instances but only 2,041
+    distinct 5-grams), so hashing each DISTINCT shingle once per permutation
+    and min-joining back is ~500x less md5 work than hashing inside every
+    document's array (guide §1.2 step 1: don't compute things twice).
+    The distinct-shingle hash table is explicitly broadcast (unhinted,
+    Spark's size guess broadcast the 1M-row instance side instead): a
+    k-gram vocabulary is bounded by the language, not the corpus, and stays
+    orders of magnitude under the broadcast cap at any corpus size."""
+    ex = _materialize(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(T.char_shingles("text", SHINGLE_K))).alias("_s"),
+        )
+    )
+    hashed = ex.select("_s").distinct().select(
+        "_s",
+        *[
+            T.md5_int64(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    mins = (
+        ex.join(F.broadcast(hashed), "_s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_PERMS)])
+    )
+    sig = F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)])
+    # shingle-less docs drop out of the explode; the left join restores them
+    # with the all-null signature the inline form produced
+    return docs.select("doc_id").join(mins, "doc_id", "left").select(
+        "doc_id", sig.alias("_sig")
+    )
+
+
 def q_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded MinHash signature rows (md5 hash family, shared with the
     SQL oracle)."""
-    docs = _read(spark, sf_dir, "documents").withColumn(
-        "_sh", F.array_distinct(T.char_shingles("text", SHINGLE_K))
+    docs = _read(spark, sf_dir, "documents")
+    return _minhash_sig_frame(docs).select(
+        "doc_id", F.posexplode("_sig").alias("perm", "minhash")
     )
-    sig = T.minhash_from_shingles("_sh", MINHASH_PERMS, hash_fn="md5")
-    return docs.select("doc_id", F.posexplode(sig).alias("perm", "minhash"))
 
 
 def sql_minhash_sigs() -> str:
@@ -587,12 +672,58 @@ def sql_minhash_sigs() -> str:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard for doc pairs sharing a MinHash band (bands of 2
     perms over the md5 family); pairs with jaccard >= 0.3."""
-    sigs = q_minhash_sigs(spark, sf_dir)
+    # ONE materialized shingle pass feeds both the MinHash signatures and
+    # the exact-Jaccard verification arrays (was: two full re-shingles of
+    # the corpus -- the q_minhash_sigs subtree plus a separate `sh` scan)
+    docs = _read(spark, sf_dir, "documents")
+    sh_df = _materialize(
+        docs.select(
+            "doc_id", F.array_distinct(T.char_shingles("text", SHINGLE_K)).alias("sh")
+        )
+    )
+    ex = _materialize(sh_df.select("doc_id", F.explode("sh").alias("_s")))
+    hashed = ex.select("_s").distinct().select(
+        "_s",
+        *[
+            T.md5_int64(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
+            for i in range(MINHASH_PERMS)
+        ],
+    )
+    mins = (
+        ex.join(F.broadcast(hashed), "_s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_PERMS)])
+    )
+    sigf = sh_df.select("doc_id").join(mins, "doc_id", "left")
     # 4-perm bands: the synthetic corpus has ~0.2 baseline shingle
-    # similarity, so 2-perm bands collide ~15% of ALL pairs (1.1M at sf0.1)
-    bands = sigs.withColumn("band", (F.col("perm") / 4).cast("int")).groupBy(
-        "doc_id", "band"
-    ).agg(F.concat_ws(",", F.sort_array(F.collect_list(F.col("minhash").cast("string")))).alias("band_key"))
+    # similarity, so 2-perm bands collide ~15% of ALL pairs (1.1M at sf0.1).
+    # band_key is built from the signature columns directly -- same sorted
+    # comma-joined string the exploded collect_list form produced (nulls of
+    # shingle-less docs are skipped by concat_ws either way).
+    bands = _materialize(sigf.select(
+        "doc_id",
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            F.sort_array(
+                                F.array(
+                                    *[
+                                        F.col(f"_m{b * 4 + i}").cast("string")
+                                        for i in range(4)
+                                    ]
+                                )
+                            ),
+                        ).alias("band_key"),
+                    )
+                    for b in range(MINHASH_PERMS // 4)
+                ]
+            )
+        ),
+    ))
     cand = (
         bands.alias("a")
         .join(
@@ -606,13 +737,8 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b"))
         .distinct()
     )
-    # materialize distinct shingle sets ONCE per doc; joining texts and
-    # re-shingling per pair costs |pairs| x 2 shingle passes
-    sh = _read(spark, sf_dir, "documents").select(
-        "doc_id", F.array_distinct(T.char_shingles("text", SHINGLE_K)).alias("sh")
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    sa = sh_df.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    sb = sh_df.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
@@ -972,7 +1098,8 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = T.token_simhash_frame(
         _read(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS
     ).filter(F.col("simhash").isNotNull())
-    bands = sigs.select(
+    # the banded rows feed both sides of the candidate self-join
+    bands = _materialize(sigs.select(
         "doc_id",
         "simhash",
         F.posexplode(
@@ -985,7 +1112,7 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band", "band_key"),
-    )
+    ))
     pairs = (
         bands.alias("a")
         .join(
@@ -1150,7 +1277,7 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (all-pairs form), exact cosine >= threshold as the
     verifier -- the embedding-space member of the dedup family (exact /
     MinHash / SimHash / n-gram Jaccard / cosine)."""
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
     pairs = q_bucket_join_pairs(spark, sf_dir)
     ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
@@ -1211,6 +1338,7 @@ def _ivf_assignments(
     sf_dir: str,
     refine: bool = True,
     lloyd_iters: int | None = None,
+    emb: DataFrame | None = None,
 ):
     """(vectors, centroids, assignments): IVF coarse quantization -- the
     inverted-file ANN structure (coarse quantize -> probe nprobe nearest
@@ -1224,8 +1352,11 @@ def _ivf_assignments(
     0/1/2 in tests/test_delete_recall.py). The centroid table is tiny and
     broadcasts at every step; no all-pairs work anywhere."""
     iters = lloyd_iters if lloyd_iters is not None else (1 if refine else 0)
-    emb = _emb_double(_read(spark, sf_dir, "embeddings"))
-    n = emb.count()
+    if emb is None:
+        emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+    # row count for the seed-centroid stride: counted on the RAW scan (no
+    # repartition exchange, no array cast -- Catalyst prunes every column)
+    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
     step = max(n // IVF_K, 1)
     cent = (
         emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_K))
@@ -1239,8 +1370,11 @@ def _ivf_assignments(
         # Lloyd iteration: a centroid with an emptied list keeps no rows in
         # the mean aggregate and simply drops out (cannot happen on the
         # first iteration -- every seed centroid holds at least its own
-        # seed vector); assignments re-spread over the survivors
-        cent = (
+        # seed vector); assignments re-spread over the survivors.
+        # cent is materialized per round: it feeds the next assignment AND
+        # the callers' probe ranking, and its subtree contains the whole
+        # previous assignment pass.
+        cent = _materialize(
             assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
             .groupBy("cid", "pos")
             .agg(F.round(F.avg("x"), 6).alias("m"))
@@ -1249,7 +1383,8 @@ def _ivf_assignments(
             .select("cid", F.col("_pm.m").alias("cemb"))
         )
         assigned = _ivf_assign(emb, cent)
-    return emb, cent, assigned
+    # the final assignment feeds the query side AND the candidate lists
+    return emb, cent, _materialize(assigned)
 
 
 def q_ann_ivf(
@@ -1258,6 +1393,7 @@ def q_ann_ivf(
     refine: bool = True,
     lloyd_iters: int | None = None,
     nprobe: int | None = None,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-K: probe the `nprobe` nearest centroid lists per query
     (default IVF_NPROBE), exact cosine inside them (the scale path
@@ -1271,8 +1407,12 @@ def q_ann_ivf(
     ~linearly with it."""
     probe_n = nprobe if nprobe is not None else IVF_NPROBE
     _, cent, assigned = _ivf_assignments(
-        spark, sf_dir, refine=refine, lloyd_iters=lloyd_iters
+        spark, sf_dir, refine=refine, lloyd_iters=lloyd_iters, emb=emb
     )
+    return _ann_ivf_from(cent, assigned, probe_n)
+
+
+def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFrame:
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -1392,8 +1532,11 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH-bucketed ANN against the brute-force top-K --
     the loop-closer the reference's Stats curve predicts
     (/root/reference/lsh/lsh.go:277-282)."""
-    brute = q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    ann = q_ann_lsh(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+    b = _materialize(_buckets_from(emb))
+    # brute feeds the hit join AND the query-id spine -- materialize it too
+    brute = _materialize(_topk_cosine_from(emb).select("query_id", "neighbor_id"))
+    ann = _ann_lsh_from(emb, b).select("query_id", "neighbor_id")
     hits = brute.join(ann, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )
@@ -1426,8 +1569,9 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the IVF ANN (k-means-refined centroids, nprobe probes)
     against the brute-force top-K -- closes the loop for the second ANN
     scale path the way ann_recall does for the LSH one (r2 verdict #4)."""
-    brute = q_topk_cosine(spark, sf_dir).select("query_id", "neighbor_id")
-    ivf = q_ann_ivf(spark, sf_dir).select("query_id", "neighbor_id")
+    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+    brute = _materialize(_topk_cosine_from(emb).select("query_id", "neighbor_id"))
+    ivf = q_ann_ivf(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     hits = brute.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_hit")
     )

@@ -42,7 +42,7 @@ from go_lsh_spark.functions import text as T
 from go_lsh_spark.functions import vector as V
 from go_lsh_spark.functions.audio import make_decode_features_udf
 from go_lsh_spark.hyperplanes import PlaneSet
-from go_lsh_spark.operators.connected_components import connected_components
+from go_lsh_spark.operators.connected_components import connected_components_auto
 from go_lsh_spark.operators.suffix import lcs_pairs
 
 _I64_MAX = (1 << 63) - 1  # the empty-shingle MinHash sentinel (fasthash.py:58)
@@ -272,13 +272,19 @@ def candidate_pairs(
     ham_ok = (F.col("a.src") != F.lit("simhash")) | (
         V.hamming64(F.col("a.sig64"), F.col("b.sig64")) <= cfg.max_hamming
     )
-    # shuffle_hash: the equal-sized self-join would otherwise SortMergeJoin,
-    # paying two full sorts of the bucket table; a shuffled hash join skips
-    # them (hash join spills since Spark 3.2, and AQE skew handling still
-    # applies)
+    # join strategy by corpus size (guide §3.1: pick it deliberately):
+    #   tiny  (n_clips <= broadcast_join_max_clips): broadcast the build
+    #         side -- the cold bucket table is a few MB, and the shuffled
+    #         plan's exchanges are pure fixed cost at this scale;
+    #   else  shuffle_hash: the equal-sized self-join would otherwise
+    #         SortMergeJoin, paying two full sorts of the bucket table; a
+    #         shuffled hash join skips them (hash join spills since Spark
+    #         3.2, and AQE skew handling still applies)
+    tiny = n_clips is not None and n_clips <= cfg.broadcast_join_max_clips
+    join_hint = "broadcast" if tiny else "shuffle_hash"
     pairs = (
         cold.alias("a")
-        .hint("shuffle_hash")
+        .hint(join_hint)
         .join(
             cold.alias("b"),
             [
@@ -347,7 +353,10 @@ def candidate_pairs(
 
 
 def verify_pairs(
-    pairs: DataFrame, signatures: DataFrame, cfg: DedupConfig
+    pairs: DataFrame,
+    signatures: DataFrame,
+    cfg: DedupConfig,
+    n_clips: int | None = None,
 ) -> DataFrame:
     """Attach evidence and keep pairs passing any gate:
       audio: hamming64 <= max_hamming AND pearson(features) >= threshold
@@ -388,9 +397,15 @@ def verify_pairs(
     sentinel = (F.element_at("minhash_a", 1) == F.lit(_I64_MAX)) | (
         F.element_at("minhash_b", 1) == F.lit(_I64_MAX)
     )
+    # same broadcast tier as candidate_pairs: below broadcast_join_max_clips
+    # the signature table broadcasts and the pair stream is never exchanged;
+    # at scale the shuffled hash join is the only safe shape (the signature
+    # side carries feature vectors and is never broadcastable)
+    tiny = n_clips is not None and n_clips <= cfg.broadcast_join_max_clips
+    _hint = "broadcast" if tiny else "shuffle_hash"
     enriched = (
-        with_ham.join(sig_a.hint("shuffle_hash"), "clip_id_a")
-        .join(sig_b.hint("shuffle_hash"), "clip_id_b")
+        with_ham.join(sig_a.hint(_hint), "clip_id_a")
+        .join(sig_b.hint(_hint), "clip_id_b")
         .withColumn("score", V.pearson("features_a", "features_b"))
         .withColumn(
             "jaccard_est",
@@ -426,8 +441,8 @@ def verify_pairs(
     tr_b = signatures.select(
         F.col("clip_id").alias("clip_id_b"), F.col("transcript").alias("transcript_b")
     )
-    needs_lcs = needs_lcs.join(tr_a.hint("shuffle_hash"), "clip_id_a").join(
-        tr_b.hint("shuffle_hash"), "clip_id_b"
+    needs_lcs = needs_lcs.join(tr_a.hint(_hint), "clip_id_a").join(
+        tr_b.hint(_hint), "clip_id_b"
     )
     with_lcs = lcs_pairs(needs_lcs).filter(
         F.col("lcs_len") >= cfg.min_common_substring
@@ -443,9 +458,19 @@ def cluster_assignments(
     clips: DataFrame, verified: DataFrame, cfg: DedupConfig
 ) -> DataFrame:
     """clusters(clip_id, cluster_id): connected components over verified
-    pairs; singletons keep their own id as cluster_id."""
-    comp = connected_components(
+    pairs; singletons keep their own id as cluster_id.
+
+    Size-dispatched CC (the streaming path's device, promoted to batch):
+    under cfg.cc_driver_max_edges canonical edges the whole component
+    computation is ONE bounded collect + driver union-find, versus the star
+    rounds' ~4 shuffles + checksum job per double-round -- at bench scale
+    (2k clips) those fixed driver jobs dominated the clusters phase. Above
+    the cap the distributed star algorithm runs exactly as before (the only
+    scale-safe choice); driver-vs-distributed equality is pinned in
+    tests/test_text_cc_suffix.py."""
+    comp = connected_components_auto(
         verified.select(F.col("clip_id_a").alias("src"), F.col("clip_id_b").alias("dst")),
+        driver_max_edges=cfg.cc_driver_max_edges,
         max_iterations=cfg.max_cc_iterations,
     )
     return (
@@ -502,7 +527,7 @@ def dedup_pipeline(
         # n_clips rides along (already materialized for the cache) so the
         # sizing plan switch costs no extra action.
         pairs = candidate_pairs(buckets, cfg, n_clips=n_clips).cache()
-        verified = verify_pairs(pairs, signatures, cfg).cache()
+        verified = verify_pairs(pairs, signatures, cfg, n_clips=n_clips).cache()
         clusters = cluster_assignments(clips, verified, cfg)
         return DedupResult(features, signatures, buckets, pairs, verified, clusters)
 
@@ -534,7 +559,9 @@ def dedup_pipeline(
     )
     verified = warehouse.run(
         "verified_pairs",
-        lambda: verify_pairs(pairs, signatures, cfg),
+        lambda: verify_pairs(
+            pairs, signatures, cfg, n_clips=warehouse.stages["signatures"].rows
+        ),
         config=cfg_dict,
         inputs=["candidate_pairs", "signatures"],
     )
