@@ -97,7 +97,8 @@ def connected_components_driver(
     return _driver_cc_from_rows(spark, rows, node_type)
 
 
-def _driver_cc_from_rows(spark, rows, node_type) -> DataFrame:
+def _driver_cc_pairs(rows) -> list:
+    """Union-find over canonical (a, b) edge rows -> [(node, component)]."""
     parent: dict = {}
 
     def find(x):
@@ -119,7 +120,11 @@ def _driver_cc_from_rows(spark, rows, node_type) -> DataFrame:
             if rb < ra:
                 ra, rb = rb, ra
             parent[rb] = ra
-    out = [(n, find(n)) for n in parent]
+    return [(n, find(n)) for n in parent]
+
+
+def _driver_cc_from_rows(spark, rows, node_type) -> DataFrame:
+    out = _driver_cc_pairs(rows)
     schema = StructType(
         [StructField("node", node_type, False), StructField("component", node_type, False)]
     )
@@ -139,15 +144,43 @@ def connected_components_auto(
     job), else fall back to the distributed star rounds. 200k string-id
     edges collect to ~20MB, far under driver memory; above the cap the
     distributed path is the only scale-safe choice."""
+    df, _ = connected_components_auto_collected(
+        edges, src, dst, driver_max_edges, max_iterations
+    )
+    return df
+
+
+def connected_components_auto_collected(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    driver_max_edges: int = 200_000,
+    max_iterations: int = 20,
+):
+    """connected_components_auto, additionally exposing the driver-path
+    result rows: returns (assignments_df, rows) where rows is the list of
+    (node, component) tuples when the union-find ran on the driver, else
+    None (distributed fallback). Callers that need 'did anything merge?'
+    or want to broadcast the mapping can answer from the rows without
+    spending another Spark action on a DataFrame the driver just built."""
     canon = _canon(edges, src, dst)
     # one job for the whole small case: collect at most cap+1 rows; only
     # when the limit is hit does the distributed path (and its shuffles) run
     rows = canon.limit(driver_max_edges + 1).collect()
     if len(rows) <= driver_max_edges:
-        return _driver_cc_from_rows(
-            edges.sparkSession, rows, edges.schema[src].dataType
+        node_type = edges.schema[src].dataType
+        out = _driver_cc_pairs(rows)
+        schema = StructType(
+            [
+                StructField("node", node_type, False),
+                StructField("component", node_type, False),
+            ]
         )
-    return connected_components(canon, "a", "b", max_iterations=max_iterations)
+        return edges.sparkSession.createDataFrame(out, schema), out
+    return (
+        connected_components(canon, "a", "b", max_iterations=max_iterations),
+        None,
+    )
 
 
 def connected_components(

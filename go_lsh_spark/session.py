@@ -55,6 +55,12 @@ def build_session(
         # streams: cap input splits well below the 128MB default so a
         # 100TB scan fans out to O(10^6) tasks, not O(10^5) oversized ones
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # the streaming point-lookup path pushes chunked In(clip_id)
+        # literals of up to 2x streaming.ingest._LOOKUP_CHUNK values into
+        # parquet scans (where per-file bloom filters act on them); the
+        # default threshold (10) silently demotes them to post-scan
+        # filters. Session-level, NOT mutated per batch (r5 verdict #5).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "4000")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

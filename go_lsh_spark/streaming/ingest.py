@@ -58,6 +58,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,6 +68,7 @@ from go_lsh_spark.hyperplanes import PlaneSet
 from go_lsh_spark.functions import vector as V
 from go_lsh_spark.operators.connected_components import (
     connected_components_auto,
+    connected_components_auto_collected,
 )
 from go_lsh_spark.operators.dedup import build_buckets, clips_to_signatures
 
@@ -668,6 +670,7 @@ def update_winnow_df(
     batch_id: int,
     n_parts: int,
     max_df: int,
+    touched: list[int] | None = None,
 ) -> DataFrame:
     """Upsert this batch's winnowing-fingerprint document frequencies into
     the incrementally maintained `<out>/winnow_df` counts table and return
@@ -708,7 +711,8 @@ def update_winnow_df(
             F.lit("winnow").alias("src"), F.lit(0).alias("band"), "hash"
         )
 
-    touched = [r["_dfpart"] for r in bc.select("_dfpart").distinct().collect()]
+    if touched is None:
+        touched = [r["_dfpart"] for r in bc.select("_dfpart").distinct().collect()]
     old = read_winnow_partitions(spark, out_path, touched)
     # full outer: old-only rows ride through untouched (their partition is
     # being rewritten), batch-only rows insert, overlaps add
@@ -729,7 +733,6 @@ def update_winnow_df(
         F.coalesce(F.col("delta"), F.col("last_delta")).alias("last_delta"),
         F.col("delta").isNotNull().alias("_in_batch"),
     ).withColumn("_dfpart", _hash_part(F.col("hash"), n_parts))
-    merged.persist()
     (
         merged.drop("_in_batch")
         .write.partitionBy("_dfpart")
@@ -737,14 +740,18 @@ def update_winnow_df(
         .mode("overwrite")
         .parquet(path)
     )
-    capped = (
-        merged.filter(F.col("_in_batch") & (F.col("df") > max_df))
+    # the capped set is returned LAZILY (no per-batch collect job, r5
+    # verdict #2) as a FRESH pruned read of the partitions just rewritten
+    # (a post-write spark.read picks up the new file listing; reusing
+    # `merged`'s plan would reference the overwritten files). Rows updated
+    # by this batch carry last_batch == batch_id and their FINAL df, so the
+    # filter reproduces exactly the _in_batch over-cap set the old collect
+    # returned -- including on replays, which rewrite the same values.
+    return (
+        read_winnow_partitions(spark, out_path, touched)
+        .filter((F.col("last_batch") == batch_id) & (F.col("df") > max_df))
         .select(F.lit("winnow").alias("src"), F.lit(0).alias("band"), "hash")
     )
-    # materialize the (tiny) capped set so unpersisting merged is safe
-    rows = capped.collect()
-    merged.unpersist()
-    return spark.createDataFrame(rows, "src string, band int, hash long")
 
 
 def _pair_rollup(bucket_pairs: DataFrame, cfg: DedupConfig) -> DataFrame:
@@ -892,6 +899,10 @@ def _cell_predicate(cells: list[tuple[int, int]]) -> F.Column:
 
 
 _LOOKUP_CHUNK = 2000
+# cap on the per-batch endpoint-info collect (matches _update_clusters'
+# lookup_isin_max default): under it, one fused collect serves the verify
+# spart pruning AND the cluster endpoint lookup; over it, exact fallbacks
+_EP_INFO_MAX = 100_000
 
 
 def _lookup_assignments(
@@ -900,6 +911,7 @@ def _lookup_assignments(
     keys: DataFrame,
     n_parts: int,
     lookup_isin_max: int = 100_000,
+    info: list | None = None,
 ) -> DataFrame:
     """Point lookup of current cluster assignments for a bounded key set
     (clip_id column): partition-pruned by the keys' _cpart cells and --
@@ -918,15 +930,19 @@ def _lookup_assignments(
     # java.lang.StackOverflowError inside FileScanRDD at 100k-clip scale).
     # So the lookup is CHUNKED: scan branches of <=_LOOKUP_CHUNK keys, each
     # pruned to its own cparts and bloom-checked, unioned into one plan /
-    # one job.
-    spark.conf.set(
-        "spark.sql.parquet.pushdown.inFilterThreshold", str(2 * _LOOKUP_CHUNK)
-    )
-    info = (
-        keys.select("clip_id", _cpart(F.col("clip_id"), n_parts).alias("p"))
-        .limit(lookup_isin_max + 1)
-        .collect()
-    )
+    # one job. The threshold itself is session config (build_session raises
+    # it to 2x the chunk size) -- mutating it per batch here was a side
+    # effect every co-hosted workload inherited (r5 verdict #5).
+    #
+    # `info` (rows with clip_id + partition p) can be precomputed by the
+    # caller from a collect it already pays for; when absent, one bounded
+    # collect fetches it.
+    if info is None:
+        info = (
+            keys.select("clip_id", _cpart(F.col("clip_id"), n_parts).alias("p"))
+            .limit(lookup_isin_max + 1)
+            .collect()
+        )
     prior = spark.read.parquet(path).filter(_live_rows(path))
     if not info:
         return prior.filter(F.lit(False)).select("clip_id", "cluster_id")
@@ -1042,6 +1058,7 @@ def _update_clusters(
     n_parts: int = 64,
     cc_driver_max_edges: int = 200_000,
     lookup_isin_max: int = 100_000,
+    ep_info: list | None = None,
 ) -> None:
     """Incrementally maintain cluster assignments at O(batch + pairs) cost,
     with ZERO rewrites of stored rows on the hot path.
@@ -1101,21 +1118,43 @@ def _update_clusters(
     edges = new_edges.select("clip_id_a", "clip_id_b")
 
     # ---- 1. endpoint lookup, resolved through the redirect delta ---------
-    eps = (
-        edges.select(F.col("clip_id_a").alias("clip_id"))
-        .unionByName(edges.select(F.col("clip_id_b").alias("clip_id")))
-        .distinct()
-        .persist()
-    )
+    # ep_info (precollected by the caller in the SAME job that fetched the
+    # signature-partition ids: rows with clip_id/_new/cp) replaces both the
+    # endpoint-distinct subtree and the lookup's own bounded collect --
+    # two driver actions per batch become zero here (r5 verdict #2).
+    if ep_info is not None and len(ep_info) <= lookup_isin_max:
+        eps = spark.createDataFrame(
+            [(r["clip_id"],) for r in ep_info], "clip_id string"
+        )
+        old_info = [
+            {"clip_id": r["clip_id"], "p": r["cp"]}
+            for r in ep_info
+            if not r["_new"]
+        ]
+    else:
+        eps = (
+            edges.select(F.col("clip_id_a").alias("clip_id"))
+            .unionByName(edges.select(F.col("clip_id_b").alias("clip_id")))
+            .distinct()
+            .persist()
+        )
+        old_info = None
     remap = read_remap(spark, out_path).persist()
     have_prior = _committed(path)
     if have_prior:
         # only endpoints NOT in this batch can have stored assignments --
         # anti-joining the batch's own clips typically shrinks the lookup
         # key set severalfold (most pair endpoints are the new clips)
-        eps_old = eps.join(F.broadcast(new_clips), "clip_id", "left_anti")
+        if old_info is not None:
+            eps_old = spark.createDataFrame(
+                [(d["clip_id"],) for d in old_info], "clip_id string"
+            )
+        else:
+            eps_old = eps.join(F.broadcast(new_clips), "clip_id", "left_anti")
         found = _apply_remap(
-            _lookup_assignments(spark, path, eps_old, n_parts, lookup_isin_max),
+            _lookup_assignments(
+                spark, path, eps_old, n_parts, lookup_isin_max, info=old_info
+            ),
             remap,
         ).persist()
         cur = eps.join(
@@ -1139,8 +1178,19 @@ def _update_clusters(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    comp = connected_components_auto(contracted, driver_max_edges=cc_driver_max_edges)
-    mapping = comp.filter(F.col("node") != F.col("component")).persist()
+    comp, comp_rows = connected_components_auto_collected(
+        contracted, driver_max_edges=cc_driver_max_edges
+    )
+    if comp_rows is not None:
+        # driver union-find path: the mapping is already on the driver, so
+        # "did anything merge?" costs no Spark action and the mapping
+        # DataFrame is a local relation (broadcasts below are free)
+        mapping_rows = [(n, c) for (n, c) in comp_rows if n != c]
+        has_merges = bool(mapping_rows)
+        mapping = spark.createDataFrame(mapping_rows, comp.schema)
+    else:
+        mapping = comp.filter(F.col("node") != F.col("component")).persist()
+        has_merges = not mapping.isEmpty()
 
     # final root per batch clip: own id unless it is an endpoint, in which
     # case its looked-up/contracted root remapped through this batch's merges
@@ -1186,38 +1236,40 @@ def _update_clusters(
             .mode("overwrite")
             .parquet(index_path)
         )
-    (
-        new_assign.select(
-            "cluster_id",
-            _cpart(F.col("clip_id"), n_parts).alias("cpart"),
-            F.lit(batch_id).alias("_batch_id"),
+    def _write_index() -> None:
+        (
+            new_assign.select(
+                "cluster_id",
+                _cpart(F.col("clip_id"), n_parts).alias("cpart"),
+                F.lit(batch_id).alias("_batch_id"),
+            )
+            .distinct()
+            .withColumn("_ipart", _ipart(F.col("cluster_id"), n_parts))
+            .write.partitionBy("_ipart", "_batch_id")
+            .mode("append")
+            .parquet(index_path)
         )
-        .distinct()
-        .withColumn("_ipart", _ipart(F.col("cluster_id"), n_parts))
-        .write.partitionBy("_ipart", "_batch_id")
-        .mode("append")
-        .parquet(index_path)
-    )
 
     # ---- 4. append this batch's assignments to its own cells --------------
-    appender = (
-        new_assign.withColumn("_cpart", _cpart(F.col("clip_id"), n_parts))
-        .withColumn("_batch_id", F.lit(batch_id))
-        .write.partitionBy("_cpart", "_batch_id")
-        # point lookups (step 1) push In(clip_id) to the scan; a bloom
-        # filter per cell file lets parquet skip non-matching row groups.
-        # ndv sized for a batch cell (batch/cluster_parts rows), not
-        # parquet's flat 1MB default
-        .option("parquet.bloom.filter.enabled#clip_id", "true")
-        .option("parquet.bloom.filter.expected.ndv#clip_id", "100000")
-        .mode("overwrite")
-    )
-    if have_prior:
-        appender = appender.option("partitionOverwriteMode", "dynamic")
-    appender.parquet(path)
+    def _write_cells() -> None:
+        appender = (
+            new_assign.withColumn("_cpart", _cpart(F.col("clip_id"), n_parts))
+            .withColumn("_batch_id", F.lit(batch_id))
+            .write.partitionBy("_cpart", "_batch_id")
+            # point lookups (step 1) push In(clip_id) to the scan; a bloom
+            # filter per cell file lets parquet skip non-matching row groups.
+            # ndv sized for a batch cell (batch/cluster_parts rows), not
+            # parquet's flat 1MB default
+            .option("parquet.bloom.filter.enabled#clip_id", "true")
+            .option("parquet.bloom.filter.expected.ndv#clip_id", "100000")
+            .mode("overwrite")
+        )
+        if have_prior:
+            appender = appender.option("partitionOverwriteMode", "dynamic")
+        appender.parquet(path)
 
     # ---- 5. fold + write the redirect delta ------------------------------
-    if found is not None and not mapping.isEmpty():
+    def _write_remap() -> None:
         # entries only for nodes some stored row can reference: the roots
         # the LOOKUP returned (a merged-away NEW clip's rows were just
         # written at their final root, so a redirect for it is dead weight)
@@ -1249,6 +1301,22 @@ def _update_clusters(
             .unionByName(new_entries)
         )
         _write_remap_snapshot(composed, out_path, batch_id)
+
+    # steps 3/4/5 are INDEPENDENT sink writes off the persisted new_assign
+    # and driver-known mapping; run them as concurrent jobs (guide §2.6) so
+    # the batch pays the slowest write once, not the sum. Crash-wise this
+    # only reorders states the replay matrix already heals: every write is
+    # individually idempotent (append facts deduped by readers, cell
+    # overwrite by key, snapshot overwrite by id + _SUCCESS gate), and the
+    # replayed batch recomputes the mapping from whatever subset landed --
+    # a remap that outran its cells simply makes the replay's contracted
+    # graph merge-free, with identical final rows.
+    writes = [_write_index, _write_cells]
+    if found is not None and has_merges:
+        writes.append(_write_remap)
+    with ThreadPoolExecutor(max_workers=len(writes)) as pool:
+        for fut in [pool.submit(w) for w in writes]:
+            fut.result()
     for cached in (eps, remap, cur, mapping, new_assign):
         cached.unpersist()
     if found is not None:
@@ -1676,22 +1744,33 @@ def start_incremental_dedup(
         planes = PlaneSet(cfg.lsh_config())
         sigs = clips_to_signatures(batch_df, cfg, planes).persist()
         new_buckets = build_buckets(sigs, cfg).persist()
-        _write_batch_partition(
-            sigs.withColumn("_spart", _hash_part(F.col("clip_id"), cfg.sig_parts)),
-            batch_id,
-            f"{out_path}/signatures",
-            extra_parts=("_spart",),
-        )
-        _mark("sig_write")
-        _write_batch_partition(
-            new_buckets.withColumn(
-                "_kpart", _hash_part(F.xxhash64("src", "band", "hash"), cfg.key_parts)
-            ),
-            batch_id,
-            f"{out_path}/buckets",
-            extra_parts=("_kpart",),
-        )
-        _mark("bucket_write")
+
+        # the signature write, bucket write, and winnow-df upsert are
+        # INDEPENDENT sinks off the two persisted batch tables: overlap
+        # them (guide §2.6) so the batch pays the slowest once, not the
+        # sum; the driver meanwhile runs the ONE fused partition-id collect
+        # (key partitions for the old-bucket pruned read + winnow df
+        # partitions -- previously two separate jobs, r5 verdict #2)
+        def _sig_write() -> None:
+            _write_batch_partition(
+                sigs.withColumn(
+                    "_spart", _hash_part(F.col("clip_id"), cfg.sig_parts)
+                ),
+                batch_id,
+                f"{out_path}/signatures",
+                extra_parts=("_spart",),
+            )
+
+        def _bucket_write() -> None:
+            _write_batch_partition(
+                new_buckets.withColumn(
+                    "_kpart",
+                    _hash_part(F.xxhash64("src", "band", "hash"), cfg.key_parts),
+                ),
+                batch_id,
+                f"{out_path}/buckets",
+                extra_parts=("_kpart",),
+            )
 
         # O(batch) winnow df-cap maintenance: upsert this batch's counts
         # into the partition-pruned winnow_df table; never re-aggregate the
@@ -1701,54 +1780,115 @@ def start_incremental_dedup(
             .groupBy("hash")
             .agg(F.count(F.lit(1)).alias("delta"))
         )
-        capped = update_winnow_df(
-            spark, out_path, batch_counts, batch_id,
-            n_parts=cfg.df_parts, max_df=cfg.winnow_max_df,
-        )
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_sig = pool.submit(_sig_write)
+            f_bucket = pool.submit(_bucket_write)
+            parts_info = (
+                new_buckets.select(
+                    _hash_part(
+                        F.xxhash64("src", "band", "hash"), cfg.key_parts
+                    ).alias("kp"),
+                    F.when(
+                        F.col("src") == "winnow",
+                        _hash_part(F.col("hash"), cfg.df_parts),
+                    ).alias("dp"),
+                )
+                .distinct()
+                .collect()
+            )
+            new_kparts = sorted({r["kp"] for r in parts_info})
+            f_winnow = pool.submit(
+                update_winnow_df,
+                spark,
+                out_path,
+                batch_counts,
+                batch_id,
+                cfg.df_parts,
+                cfg.winnow_max_df,
+                sorted({r["dp"] for r in parts_info if r["dp"] is not None}),
+            )
+            f_sig.result()
+            f_bucket.result()
+            _mark("sink_writes")
+            capped = f_winnow.result()
         _mark("winnow_df")
 
         # old = accumulated minus THIS batch (also correct on replay):
         # partition pruning skips the current batch partition at scan time,
         # and the secondary _kpart pruning keeps the read bounded by the
         # batch's own bucket keys, not the corpus
-        new_kparts = [
-            r["p"]
-            for r in new_buckets.select(
-                _hash_part(F.xxhash64("src", "band", "hash"), cfg.key_parts).alias("p")
-            )
-            .distinct()
-            .collect()
-        ]
-        _mark("kparts")
         old_buckets = read_old_buckets(spark, out_path, batch_id, new_kparts)
         pairs = _incremental_pairs(new_buckets, old_buckets, cfg, capped).persist()
 
-        # verify reads only the signature partitions holding pair members
-        # (pair volume is bounded by the batch's collision rate, so this is
-        # an index probe into the accumulated signatures, not a scan)
-        pair_sparts = [
-            r["p"]
-            for r in pairs.select(F.col("clip_id_a").alias("c"))
-            .unionByName(pairs.select(F.col("clip_id_b").alias("c")))
-            .select(_hash_part(F.col("c"), cfg.sig_parts).alias("p"))
+        # ONE fused collect over the candidate pairs: the signature
+        # partitions verify must read AND the endpoint lookup info
+        # (_update_clusters step 1) -- previously two jobs. The endpoint
+        # set here is the CANDIDATE-pair one, a superset of the verified
+        # endpoints the cluster step needs; looking up a few extra
+        # endpoints is free relative to a whole extra driver action, and
+        # extra entries change nothing downstream (they join no edge).
+        ep_rows = (
+            pairs.select(F.col("clip_id_a").alias("clip_id"))
+            .unionByName(pairs.select(F.col("clip_id_b").alias("clip_id")))
             .distinct()
+            .join(
+                F.broadcast(
+                    sigs.select("clip_id").withColumn("_new", F.lit(True))
+                ),
+                "clip_id",
+                "left",
+            )
+            .select(
+                "clip_id",
+                F.coalesce(F.col("_new"), F.lit(False)).alias("_new"),
+                _hash_part(F.col("clip_id"), cfg.sig_parts).alias("sp"),
+                _cpart(F.col("clip_id"), cfg.cluster_parts).alias("cp"),
+            )
+            .limit(_EP_INFO_MAX + 1)
             .collect()
-        ]
+        )
+        if len(ep_rows) <= _EP_INFO_MAX:
+            pair_sparts = sorted({r["sp"] for r in ep_rows})
+            ep_info = ep_rows
+        else:
+            # huge-batch fallback: the truncated collect cannot prove spart
+            # coverage, so fetch the (bounded, <= sig_parts) distinct set
+            # exactly and let the cluster step run its own bounded lookup
+            pair_sparts = [
+                r["p"]
+                for r in pairs.select(F.col("clip_id_a").alias("c"))
+                .unionByName(pairs.select(F.col("clip_id_b").alias("c")))
+                .select(_hash_part(F.col("c"), cfg.sig_parts).alias("p"))
+                .distinct()
+                .collect()
+            ]
+            ep_info = None
         _mark("pair_gen")
         pair_sigs = read_pair_signatures(spark, out_path, pair_sparts)
         verified = verify_pairs(pairs, pair_sigs, cfg).persist()
-        _write_batch_partition(verified, batch_id, f"{out_path}/verified_pairs")
-        _mark("verify")
-        _update_clusters(
-            spark,
-            out_path,
-            sigs.select("clip_id"),
-            verified.select("clip_id_a", "clip_id_b"),
-            batch_id,
-            n_parts=cfg.cluster_parts,
-            cc_driver_max_edges=cfg.cc_driver_max_edges,
-        )
-        _mark("clusters")
+        # the verified-pairs sink write and the cluster update both consume
+        # the persisted `verified` and are independent of each other --
+        # overlap them too (same §2.6 device; replay heals any partial
+        # combination exactly as it healed the write-then-update order)
+        with ThreadPoolExecutor(max_workers=1) as vpool:
+            f_verified = vpool.submit(
+                _write_batch_partition,
+                verified,
+                batch_id,
+                f"{out_path}/verified_pairs",
+            )
+            _update_clusters(
+                spark,
+                out_path,
+                sigs.select("clip_id"),
+                verified.select("clip_id_a", "clip_id_b"),
+                batch_id,
+                n_parts=cfg.cluster_parts,
+                cc_driver_max_edges=cfg.cc_driver_max_edges,
+                ep_info=ep_info,
+            )
+            f_verified.result()
+        _mark("verify+clusters")
         shuf1 = _shuffle_totals(spark)
         deltas = (
             {k: shuf1[k] - shuf0[k] for k in shuf1} if shuf0 and shuf1 else {}
