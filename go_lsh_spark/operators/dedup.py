@@ -158,33 +158,38 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     pre-filter needs NO join back to signatures -- candidate pairs emerge
     from the bucket self-join already carrying both signatures."""
     cols = ["src", "band", "hash", "clip_id", "sig64"]
-    audio = signatures.select(
-        F.lit("simhash").alias("src"),
-        F.posexplode(
-            V.band_hashes("sig64", cfg.num_bands, cfg.rows_per_band)
-        ).alias("band", "hash"),
-        "clip_id",
-        "sig64",
-    ).select(*cols)
+
+    def _entry(src: str, band, hash_col) -> F.Column:
+        return F.struct(
+            F.lit(src).alias("src"),
+            (band if not isinstance(band, int) else F.lit(band)).alias("band"),
+            hash_col.cast("long").alias("hash"),
+        )
+
+    # ONE pass over the signatures instead of a three-branch union (which
+    # scanned the table three times and tripled the downstream partition
+    # count): every bucket family's (src, band, hash) entries concatenate
+    # into a single struct array and inline-explode together. Row multiset
+    # identical to the union form.
+    audio = F.array(
+        *[
+            _entry("simhash", b, V.band_hash("sig64", b, cfg.rows_per_band))
+            for b in range(cfg.num_bands)
+        ]
+    )
     # empty/short transcripts produce the all-int64.max sentinel MinHash
     # signature (functions/fasthash.py:58); emitting their bands would
     # collide every transcript-less clip in one bucket and falsely verify
     # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
-    text = signatures.filter(
-        F.element_at("minhash", 1) != F.lit(_I64_MAX)
-    ).select(
-        F.lit("minhash").alias("src"),
-        F.posexplode(
-            F.array(
-                *[
-                    T.minhash_band_hash("minhash", b, cfg.minhash_rows)
-                    for b in range(cfg.minhash_bands)
-                ]
-            )
-        ).alias("band", "hash"),
-        "clip_id",
-        "sig64",
-    ).select(*cols)
+    text = F.when(
+        F.element_at("minhash", 1) != F.lit(_I64_MAX),
+        F.array(
+            *[
+                _entry("minhash", b, T.minhash_band_hash("minhash", b, cfg.minhash_rows))
+                for b in range(cfg.minhash_bands)
+            ]
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,band:int,hash:bigint>>"))
     # winnowing fingerprints: the suffix-array path's candidate source --
     # a common substring of >= winnow_k + winnow_window - 1 chars guarantees
     # a shared fingerprint (Schleimer et al. 2003). The per-clip fingerprint
@@ -194,14 +199,12 @@ def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     # candidate_pairs already sizes every bucket, and for winnow buckets
     # size == df, so the cap folds into that one groupBy for free instead
     # of costing its own groupBy + semi-join pass over the fingerprints.
-    winnow = signatures.select(
-        F.lit("winnow").alias("src"),
-        F.lit(0).alias("band"),
-        F.explode("winnow").alias("hash"),
-        "clip_id",
-        "sig64",
+    winnow = F.transform(
+        "winnow", lambda h: _entry("winnow", F.lit(0), h)
+    )
+    return signatures.select(
+        "clip_id", "sig64", F.inline(F.concat(audio, text, winnow))
     ).select(*cols)
-    return audio.unionByName(text).unionByName(winnow)
 
 
 def candidate_pairs(
