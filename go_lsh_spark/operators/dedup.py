@@ -360,6 +360,7 @@ def verify_pairs(
     signatures: DataFrame,
     cfg: DedupConfig,
     n_clips: int | None = None,
+    adaptive_joins: bool = False,
 ) -> DataFrame:
     """Attach evidence and keep pairs passing any gate:
       audio: hamming64 <= max_hamming AND pearson(features) >= threshold
@@ -400,15 +401,23 @@ def verify_pairs(
     sentinel = (F.element_at("minhash_a", 1) == F.lit(_I64_MAX)) | (
         F.element_at("minhash_b", 1) == F.lit(_I64_MAX)
     )
-    # same broadcast tier as candidate_pairs: below broadcast_join_max_clips
-    # the signature table broadcasts and the pair stream is never exchanged;
-    # at scale the shuffled hash join is the only safe shape (the signature
-    # side carries feature vectors and is never broadcastable)
+    # join strategy: below broadcast_join_max_clips the signature table
+    # broadcasts and the pair stream is never exchanged; at corpus scale
+    # the shuffled hash join is the only safe shape (the signature side
+    # carries feature vectors and is never broadcastable). adaptive_joins
+    # (the streaming path) leaves the choice to AQE: both inputs there are
+    # per-batch bounded (pruned signature partitions, batch-rate pairs), so
+    # AQE broadcasts whichever side measures small and falls back to a
+    # shuffled join only when a batch genuinely outgrows it.
     tiny = n_clips is not None and n_clips <= cfg.broadcast_join_max_clips
     _hint = "broadcast" if tiny else "shuffle_hash"
+
+    def _side(df: DataFrame) -> DataFrame:
+        return df if adaptive_joins else df.hint(_hint)
+
     enriched = (
-        with_ham.join(sig_a.hint(_hint), "clip_id_a")
-        .join(sig_b.hint(_hint), "clip_id_b")
+        with_ham.join(_side(sig_a), "clip_id_a")
+        .join(_side(sig_b), "clip_id_b")
         .withColumn("score", V.pearson("features_a", "features_b"))
         .withColumn(
             "jaccard_est",
@@ -444,8 +453,8 @@ def verify_pairs(
     tr_b = signatures.select(
         F.col("clip_id").alias("clip_id_b"), F.col("transcript").alias("transcript_b")
     )
-    needs_lcs = needs_lcs.join(tr_a.hint(_hint), "clip_id_a").join(
-        tr_b.hint(_hint), "clip_id_b"
+    needs_lcs = needs_lcs.join(_side(tr_a), "clip_id_a").join(
+        _side(tr_b), "clip_id_b"
     )
     with_lcs = lcs_pairs(needs_lcs).filter(
         F.col("lcs_len") >= cfg.min_common_substring

@@ -1865,7 +1865,7 @@ def start_incremental_dedup(
             ep_info = None
         _mark("pair_gen")
         pair_sigs = read_pair_signatures(spark, out_path, pair_sparts)
-        verified = verify_pairs(pairs, pair_sigs, cfg).persist()
+        verified = verify_pairs(pairs, pair_sigs, cfg, adaptive_joins=True).persist()
         # the verified-pairs sink write and the cluster update both consume
         # the persisted `verified` and are independent of each other --
         # overlap them too (same §2.6 device; replay heals any partial

@@ -346,6 +346,75 @@ def test_sizing_plans_produce_identical_pairs(spark):
     assert not any(a.startswith("c") for a, _ in got)
 
 
+def test_build_buckets_single_pass_matches_union_form(spark, corpus, cfg):
+    """build_buckets now emits all three bucket families from ONE inline
+    explode instead of a three-branch union; the row MULTISET must be
+    identical to the union form it replaced (per-family counts + content
+    checksum, including the sentinel-minhash suppression)."""
+    from go_lsh_spark.functions import text as T
+    from go_lsh_spark.functions import vector as Vf
+    from go_lsh_spark.operators.dedup import _I64_MAX, build_buckets, clips_to_signatures
+    from go_lsh_spark.sources.synth import clips_to_spark
+
+    df, _ = clips_to_spark(spark, corpus)
+    sigs = clips_to_signatures(df, cfg, PlaneSet(cfg.lsh_config())).persist()
+    got = build_buckets(sigs, cfg)
+
+    # reference: the r5 three-branch union form, inlined
+    cols = ["src", "band", "hash", "clip_id", "sig64"]
+    audio = sigs.select(
+        F.lit("simhash").alias("src"),
+        F.posexplode(
+            Vf.band_hashes("sig64", cfg.num_bands, cfg.rows_per_band)
+        ).alias("band", "hash"),
+        "clip_id",
+        "sig64",
+    ).select(*cols)
+    text = sigs.filter(F.element_at("minhash", 1) != F.lit(_I64_MAX)).select(
+        F.lit("minhash").alias("src"),
+        F.posexplode(
+            F.array(
+                *[
+                    T.minhash_band_hash("minhash", b, cfg.minhash_rows)
+                    for b in range(cfg.minhash_bands)
+                ]
+            )
+        ).alias("band", "hash"),
+        "clip_id",
+        "sig64",
+    ).select(*cols)
+    winnow = sigs.select(
+        F.lit("winnow").alias("src"),
+        F.lit(0).alias("band"),
+        F.explode("winnow").alias("hash"),
+        "clip_id",
+        "sig64",
+    ).select(*cols)
+    want = audio.unionByName(text).unionByName(winnow)
+
+    def fingerprint(b):
+        return {
+            tuple(r)
+            for r in b.groupBy("src")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(
+                    F.xxhash64("src", "band", "hash", "clip_id", "sig64")
+                ).alias("cs"),
+            )
+            .collect()
+        }
+
+    assert fingerprint(got) == fingerprint(want)
+    # names + types must match exactly; nullability may differ (the inline
+    # struct fields are nullable where the union's literals were not --
+    # parquet round-trips erase that distinction anyway)
+    assert [(f.name, f.dataType) for f in got.schema] == [
+        (f.name, f.dataType) for f in want.schema
+    ]
+    sigs.unpersist()
+
+
 def test_verify_broadcast_tier_produces_identical_rows(spark, corpus, cfg):
     """verify_pairs' broadcast tier (n_clips <= broadcast_join_max_clips
     swaps the shuffle_hash hints for broadcast ones) must emit the
