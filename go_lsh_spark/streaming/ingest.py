@@ -898,10 +898,20 @@ def _cell_predicate(cells: list[tuple[int, int]]) -> F.Column:
     return pred if pred is not None else F.lit(False)
 
 
-_LOOKUP_CHUNK = 2000
-# cap on the per-batch endpoint-info collect (matches _update_clusters'
-# lookup_isin_max default): under it, one fused collect serves the verify
-# spart pruning AND the cluster endpoint lookup; over it, exact fallbacks
+# parquet receives a pushed In() as a LINEARLY nested OR tree and its
+# per-task filter conversion recurses once per value: full 2000-value
+# chunks (the r5 setting) overflowed the task stack at 100k-clip scale the
+# first time the endpoint key set actually filled them. 512 keeps the
+# recursion an order of magnitude under the observed limit while row-group
+# stats + bloom filters still do the skipping.
+_LOOKUP_CHUNK = 512
+# above this many lookup keys the chunked-In-literal path would need an
+# unwieldy union of scan branches; the cpart-pruned scan + broadcast
+# semi-join takes over (robust at any key count)
+_LOOKUP_ISIN_MAX = 16_384
+# cap on the per-batch endpoint-info collect: under it, one fused collect
+# serves the verify spart pruning AND the cluster endpoint lookup; over
+# it, exact fallbacks
 _EP_INFO_MAX = 100_000
 
 
@@ -910,7 +920,7 @@ def _lookup_assignments(
     path: str,
     keys: DataFrame,
     n_parts: int,
-    lookup_isin_max: int = 100_000,
+    lookup_isin_max: int = _LOOKUP_ISIN_MAX,
     info: list | None = None,
 ) -> DataFrame:
     """Point lookup of current cluster assignments for a bounded key set
@@ -926,8 +936,9 @@ def _lookup_assignments(
     # bloom filters and silently degrades to a full scan of the touched
     # partitions with a post-scan filter. It cannot simply be raised to the
     # full key-set size either: parquet builds the pushed In as a linearly
-    # nested OR tree, and ~20k terms overflow the task stack (observed
-    # java.lang.StackOverflowError inside FileScanRDD at 100k-clip scale).
+    # nested OR tree whose per-task filter conversion recurses once per
+    # value (observed java.lang.StackOverflowError inside FileScanRDD at
+    # 100k-clip scale with 2000-value chunks -- see _LOOKUP_CHUNK).
     # So the lookup is CHUNKED: scan branches of <=_LOOKUP_CHUNK keys, each
     # pruned to its own cparts and bloom-checked, unioned into one plan /
     # one job. The threshold itself is session config (build_session raises
@@ -937,12 +948,14 @@ def _lookup_assignments(
     # `info` (rows with clip_id + partition p) can be precomputed by the
     # caller from a collect it already pays for; when absent, one bounded
     # collect fetches it.
+    info_complete = info is not None  # caller-provided info is never truncated
     if info is None:
         info = (
             keys.select("clip_id", _cpart(F.col("clip_id"), n_parts).alias("p"))
             .limit(lookup_isin_max + 1)
             .collect()
         )
+        info_complete = len(info) <= lookup_isin_max
     prior = spark.read.parquet(path).filter(_live_rows(path))
     if not info:
         return prior.filter(F.lit(False)).select("clip_id", "cluster_id")
@@ -960,12 +973,15 @@ def _lookup_assignments(
                 ).select("clip_id", "cluster_id")
             )
         return reduce(lambda a, b: a.unionByName(b), branches)
-    cparts = [
-        r["p"]
-        for r in keys.select(_cpart(F.col("clip_id"), n_parts).alias("p"))
-        .distinct()
-        .collect()
-    ]
+    if info_complete:
+        cparts = sorted({r["p"] for r in info})
+    else:
+        cparts = [
+            r["p"]
+            for r in keys.select(_cpart(F.col("clip_id"), n_parts).alias("p"))
+            .distinct()
+            .collect()
+        ]
     return (
         prior.filter(F.col("_cpart").isin(cparts))
         .join(F.broadcast(keys.select("clip_id")), "clip_id", "left_semi")
@@ -1152,9 +1168,7 @@ def _update_clusters(
         else:
             eps_old = eps.join(F.broadcast(new_clips), "clip_id", "left_anti")
         found = _apply_remap(
-            _lookup_assignments(
-                spark, path, eps_old, n_parts, lookup_isin_max, info=old_info
-            ),
+            _lookup_assignments(spark, path, eps_old, n_parts, info=old_info),
             remap,
         ).persist()
         cur = eps.join(
