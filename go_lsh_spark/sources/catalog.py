@@ -76,17 +76,34 @@ def _strip_uri(p: str) -> str:
     return unquote(u.path)
 
 
-def _shuffle_totals(spark: SparkSession) -> dict | None:
+def _shuffle_totals(spark: SparkSession, max_stages: int | None = 2000) -> dict | None:
     """Cumulative (shuffle read, shuffle write, input, output) bytes across
     all Spark stages so far, from the JVM AppStatusStore (the store that
     backs the UI; available even with spark.ui.enabled=false). Deltas of
     this around a stage write give the stage's real shuffle width -- the
     evidence for claims like 'deferring the transcript join narrows the
     verify shuffle'. Returns None if the internal API shifts (fail-soft:
-    metrics are telemetry, never load-bearing)."""
+    metrics are telemetry, never load-bearing).
+
+    max_stages bounds the cost: the iteration costs ~6 py4j round trips
+    PER RETAINED STAGE, so in a long-lived session with tens of thousands
+    of retained stages (a full test suite run raised retention exactly to
+    keep deltas trim-proof) one call costs tens of seconds -- measured as
+    per-batch streaming walls 'growing' with suite progress, which is this
+    telemetry's own cost, not the pipeline's. Above the cap the totals are
+    skipped in O(1) (None, same as the API-shift fallback); callers that
+    need exact deltas regardless pass max_stages=None."""
     try:
         jvm = spark._jvm
         store = spark._jsparkSession.sparkContext().statusStore()
+        if max_stages is not None:
+            n = store.store().count(
+                jvm.java.lang.Class.forName(
+                    "org.apache.spark.status.StageDataWrapper"
+                )
+            )
+            if n > max_stages:
+                return None
         empty = jvm.java.util.Collections.emptyList()
         defaults = [getattr(store, f"stageList$default${i}")() for i in range(2, 6)]
         it = store.stageList(empty, *defaults).iterator()

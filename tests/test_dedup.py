@@ -275,9 +275,9 @@ def test_deferred_transcript_join_narrows_verify_shuffle(spark, corpus, cfg):
         probe = j.agg(
             F.bit_xor(F.xxhash64(*j.columns)).alias("h")
         )
-        s0 = _shuffle_totals(spark)
+        s0 = _shuffle_totals(spark, max_stages=None)
         probe.collect()
-        s1 = _shuffle_totals(spark)
+        s1 = _shuffle_totals(spark, max_stages=None)
         assert s0 and s1, "AppStatusStore metrics unavailable"
         return s1["shuffle_write_bytes"] - s0["shuffle_write_bytes"]
 

@@ -1021,11 +1021,11 @@ def test_pruned_state_read_bytes_track_fraction(spark, tmp_path):
     def scan_bytes(reader):
         # force every column through the action (count() would let the scan
         # prune payload columns and zero out the signal)
-        before = _shuffle_totals(spark)
+        before = _shuffle_totals(spark, max_stages=None)
         reader.agg(
             F.bit_xor(F.xxhash64(*reader.columns)).alias("x")
         ).collect()
-        after = _shuffle_totals(spark)
+        after = _shuffle_totals(spark, max_stages=None)
         if not (before and after):
             pytest.skip("AppStatusStore metrics unavailable")
         return after["input_bytes"] - before["input_bytes"]
