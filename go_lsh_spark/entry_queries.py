@@ -85,6 +85,28 @@ def _emb_double(df: DataFrame) -> DataFrame:
     return df.withColumn("emb", F.col("embedding").cast("array<double>"))
 
 
+def _emb_mat(
+    spark: SparkSession, sf_dir: str, norm: bool = False, pearson_stats: bool = False
+) -> DataFrame:
+    """Materialized embeddings frame with the requested per-vector scoring
+    statistics precomputed ONCE per vector inside the materialization.
+    The pair-scoring expressions (cosine / pearson + snap + any pushed
+    threshold filter) textually duplicate their whole tree several times
+    per row; hoisting the single-side terms (L2 norm, element sum,
+    variance) out of the per-pair expression removes most of the
+    interpreted 64-element aggregate evaluations while keeping the scored
+    values bit-identical (same IEEE ops, same order -- see
+    functions/vector.py cosine_with_norms / pearson_with_stats)."""
+    df = _emb_double(_read(spark, sf_dir, "embeddings"))
+    if norm:
+        df = df.withColumn("_nrm", V.vector_norm("emb"))
+    if pearson_stats:
+        df = df.withColumn("_ps", V.pearson_sum("emb")).withColumn(
+            "_pv", V.pearson_var("emb")
+        )
+    return _materialize(df)
+
+
 @lru_cache(maxsize=None)
 def _plane_lit_cached(t: int, i: int) -> "F.Column":
     # one Literal(array) per plane instead of 64 py4j F.lit round trips per
@@ -152,6 +174,25 @@ def _buckets_from(emb: DataFrame) -> DataFrame:
     return out
 
 
+def _buckets_single_pass(emb: DataFrame) -> DataFrame:
+    """Same row multiset as _buckets_from, built by ONE pass over emb
+    (posexplode of the per-table hash array) instead of an N_TABLES-branch
+    union: the input is read once, and the result keeps emb's partition
+    count instead of N_TABLES times it (the union form planned 64 tasks
+    for every downstream consumer at 32 partitions). Used by the
+    pair-building queries, whose bucket tables are materialized (so the
+    union form's count-pruning advantage does not apply there);
+    q_simhash_buckets itself keeps the union form, where a bare count()
+    prunes the hash expressions entirely. Equivalence pinned by
+    tests/test_delete_recall.py::test_buckets_single_pass_matches_union."""
+    hashes = F.array(
+        *[_hash_col(F.col("emb"), t) for t in range(N_TABLES)]
+    )
+    return emb.select("vec_id", F.posexplode(hashes)).toDF(
+        "vec_id", "table_id", "hash"
+    )
+
+
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _buckets_from(_emb_double(_read(spark, sf_dir, "embeddings")))
 
@@ -172,7 +213,13 @@ def sql_simhash_buckets() -> str:
 def q_bucket_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the self-join read the same bucket table: materialize it
     # once (was: the scan + 16 hyperplane dots per row computed twice)
-    b = _materialize(q_simhash_buckets(spark, sf_dir))
+    b = _materialize(
+        _buckets_single_pass(_emb_double(_read(spark, sf_dir, "embeddings")))
+    )
+    return _pairs_from_buckets(b)
+
+
+def _pairs_from_buckets(b: DataFrame) -> DataFrame:
     return (
         b.alias("a")
         .join(
@@ -206,18 +253,36 @@ def sql_bucket_join_pairs() -> str:
 
 
 def _pairs_with_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # emb feeds both join sides -- materialize the cast once
-    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
-    pairs = q_bucket_join_pairs(spark, sf_dir)
-    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
+    # emb feeds both join sides -- materialize the cast (and the per-vector
+    # pearson sum/variance terms) once
+    emb = _emb_mat(spark, sf_dir, pearson_stats=True)
+    # buckets built from the SAME materialized emb frame (one scan, one
+    # spread exchange for the whole query instead of two)
+    pairs = _pairs_from_buckets(_materialize(_buckets_single_pass(emb)))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("_ps").alias("_ps_a"),
+        F.col("_pv").alias("_pv_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("_ps").alias("_ps_b"),
+        F.col("_pv").alias("_pv_b"),
+    )
     return (
         pairs.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(V.pearson("emb_a", "emb_b"), 6).alias("score"),
+            F.round(
+                V.pearson_with_stats(
+                    "emb_a", "emb_b", "_ps_a", "_ps_b", "_pv_a", "_pv_b"
+                ),
+                6,
+            ).alias("score"),
         )
     )
 
@@ -269,16 +334,24 @@ def sql_threshold_filter() -> str:
 
 def _topk_cosine_from(emb: DataFrame) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("_nrm").alias("_qn"),
     )
-    cand = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("_nrm").alias("_cn"),
+    )
     scored = (
         q.crossJoin(cand)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine("qemb", "cemb"), 6).alias("cos_sim"),
+            F.round(V.cosine_with_norms("qemb", "cemb", "_qn", "_cn"), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -295,7 +368,7 @@ def q_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-K neighbors for query ids < N_QUERIES
     (the ANN baseline; O12 window top-K). emb is materialized once -- the
     query and candidate sides of the cross join read the same subtree."""
-    return _topk_cosine_from(_materialize(_emb_double(_read(spark, sf_dir, "embeddings"))))
+    return _topk_cosine_from(_emb_mat(spark, sf_dir, norm=True))
 
 
 def sql_topk_cosine() -> str:
@@ -325,15 +398,25 @@ def _ann_lsh_from(emb: DataFrame, b: DataFrame) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb"))
-    eb = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("emb").alias("cemb"))
+    ea = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("_nrm").alias("_qn"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("emb").alias("cemb"),
+        F.col("_nrm").alias("_cn"),
+    )
     scored = (
         cands.join(ea, "query_id")
         .join(eb, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(V.cosine("qemb", "cemb"), 6).alias("cos_sim"),
+            F.round(V.cosine_with_norms("qemb", "cemb", "_qn", "_cn"), 6).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -351,8 +434,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path; brute-force cross join above is the small-N baseline).
     One materialized embeddings subtree feeds the bucket table AND both
     score-join sides (was: three separate scan+hash subtrees)."""
-    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
-    b = _materialize(_buckets_from(emb))
+    emb = _emb_mat(spark, sf_dir, norm=True)
+    b = _materialize(_buckets_single_pass(emb))
     return _ann_lsh_from(emb, b)
 
 
@@ -1293,21 +1376,33 @@ def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set (all-pairs form), exact cosine >= threshold as the
     verifier -- the embedding-space member of the dedup family (exact /
     MinHash / SimHash / n-gram Jaccard / cosine)."""
-    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
-    pairs = q_bucket_join_pairs(spark, sf_dir)
-    ea = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("emb").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("emb").alias("emb_b"))
+    emb = _emb_mat(spark, sf_dir, norm=True)
+    # buckets built from the SAME materialized emb frame (one scan total)
+    pairs = _pairs_from_buckets(_materialize(_buckets_single_pass(emb)))
+    ea = emb.select(
+        F.col("vec_id").alias("vec_id_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("_nrm").alias("_na"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_id_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("_nrm").alias("_nb"),
+    )
     # no barrier before this filter: the pushed-down filter does duplicate
     # the cosine expression, but at 64 dims that re-eval measured CHEAPER
     # than a materialization pass (2.55s vs 1.82s with a barrier) -- unlike
-    # the ngram query's string-set intersects, where the barrier wins
+    # the ngram query's string-set intersects, where the barrier wins; the
+    # duplicated copies are cheap now anyway (norms precomputed per vector)
     return (
         pairs.join(ea, "vec_id_a")
         .join(eb, "vec_id_b")
         .select(
             "vec_id_a",
             "vec_id_b",
-            F.round(V.cosine("emb_a", "emb_b"), 6).alias("cos_sim"),
+            F.round(V.cosine_with_norms("emb_a", "emb_b", "_na", "_nb"), 6).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= COSINE_NEARDUP_THRESHOLD)
     )
@@ -1340,15 +1435,20 @@ IVF_NPROBE = 4   # centroid lists probed per query
 
 def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: broadcast the tiny centroid table, one
-    min_by groupBy on vec_id -- no shuffle of the big side beyond it."""
-    dist = V.dot("emb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")  # ||c||^2 - 2<v,c>
+    min_by groupBy on vec_id -- no shuffle of the big side beyond it.
+    cent carries `_c2` = <c,c> precomputed once per centroid (16 rows, at
+    broadcast build) instead of re-evaluating the 64-element self-dot per
+    (vector, centroid) pair -- same double, bit-identical distances."""
+    dist = V.dot("emb", "cemb") * F.lit(-2.0) + F.col("_c2")  # ||c||^2 - 2<v,c>
+    carry = ["_nrm"] if "_nrm" in emb.columns else []
     return (
         emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cid", dist.alias("_d"))
+        .select("vec_id", "emb", "cid", dist.alias("_d"), *carry)
         .groupBy("vec_id")
         .agg(
             F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
             F.first("emb").alias("emb"),
+            *[F.first(c).alias(c) for c in carry],
         )
     )
 
@@ -1373,7 +1473,7 @@ def _ivf_assignments(
     broadcasts at every step; no all-pairs work anywhere."""
     iters = lloyd_iters if lloyd_iters is not None else (1 if refine else 0)
     if emb is None:
-        emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+        emb = _emb_mat(spark, sf_dir, norm=True)
     # row count for the seed-centroid stride: counted on the RAW scan (no
     # repartition exchange, no array cast -- Catalyst prunes every column)
     n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
@@ -1384,6 +1484,7 @@ def _ivf_assignments(
             (F.col("vec_id") / step).cast("int").alias("cid"),
             F.col("emb").alias("cemb"),
         )
+        .withColumn("_c2", V.dot("cemb", "cemb"))
     )
     assigned = _ivf_assign(emb, cent)
     for _ in range(iters):
@@ -1409,6 +1510,7 @@ def _ivf_assignments(
                 "cid",
                 F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("cemb"),
             )
+            .withColumn("_c2", V.dot("cemb", "cemb"))
         )
         assigned = _ivf_assign(emb, cent)
     # the final assignment feeds the query side AND the candidate lists
@@ -1442,12 +1544,14 @@ def q_ann_ivf(
 
 def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFrame:
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("_nrm").alias("_qn"),
     )
-    qdist = V.dot("qemb", "cemb") * F.lit(-2.0) + V.dot("cemb", "cemb")
+    qdist = V.dot("qemb", "cemb") * F.lit(-2.0) + F.col("_c2")
     probes = (
         q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qemb", "cid", qdist.alias("_d"))
+        .select("query_id", "qemb", "_qn", "cid", qdist.alias("_d"))
         .withColumn(
             "_r",
             F.row_number().over(
@@ -1455,10 +1559,15 @@ def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFra
             ),
         )
         .filter(F.col("_r") <= probe_n)
-        .select("query_id", "qemb", "cid")
+        .select("query_id", "qemb", "_qn", "cid")
     )
     cands = probes.join(
-        assigned.select(F.col("vec_id").alias("neighbor_id"), "cid", F.col("emb").alias("cemb2")),
+        assigned.select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cid",
+            F.col("emb").alias("cemb2"),
+            F.col("_nrm").alias("_cn"),
+        ),
         "cid",
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     # no dropDuplicates: probes are DISTINCT (query, cid) rows (row_number
@@ -1470,7 +1579,9 @@ def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFra
     scored = cands.select(
         "query_id",
         "neighbor_id",
-        F.round(V.cosine("qemb", "cemb2"), 6).alias("cos_sim"),
+        F.round(V.cosine_with_norms("qemb", "cemb2", "_qn", "_cn"), 6).alias(
+            "cos_sim"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
@@ -1566,8 +1677,8 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the LSH-bucketed ANN against the brute-force top-K --
     the loop-closer the reference's Stats curve predicts
     (/root/reference/lsh/lsh.go:277-282)."""
-    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
-    b = _materialize(_buckets_from(emb))
+    emb = _emb_mat(spark, sf_dir, norm=True)
+    b = _materialize(_buckets_single_pass(emb))
     # brute feeds the hit join AND the query-id spine -- materialize it too
     brute = _materialize(_topk_cosine_from(emb).select("query_id", "neighbor_id"))
     ann = _ann_lsh_from(emb, b).select("query_id", "neighbor_id")
@@ -1603,7 +1714,7 @@ def q_ann_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@K of the IVF ANN (k-means-refined centroids, nprobe probes)
     against the brute-force top-K -- closes the loop for the second ANN
     scale path the way ann_recall does for the LSH one (r2 verdict #4)."""
-    emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
+    emb = _emb_mat(spark, sf_dir, norm=True)
     brute = _materialize(_topk_cosine_from(emb).select("query_id", "neighbor_id"))
     ivf = q_ann_ivf(spark, sf_dir, emb=emb).select("query_id", "neighbor_id")
     hits = brute.join(ivf, ["query_id", "neighbor_id"]).groupBy("query_id").agg(

@@ -70,18 +70,53 @@ def pearson(x: Column | str, y: Column | str) -> Column:
     (Go's NaN always fails that predicate, results/results.go:36)."""
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
+    return pearson_with_stats(
+        x, y, pearson_sum(x), pearson_sum(y), pearson_var(x), pearson_var(y)
+    )
+
+
+def pearson_sum(vec: Column | str) -> Column:
+    """Element sum, exactly as the inline pearson() computes it."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    return F.aggregate(vec, F.lit(0.0), lambda a, v: a + v)
+
+
+def pearson_var(vec: Column | str) -> Column:
+    """n*var term (sxx - sx*sx/n), exactly as the inline pearson()
+    computes it -- per-vector, so it can be evaluated once per row in a
+    materialized frame instead of once per pair per expression copy."""
+    vec = F.col(vec) if isinstance(vec, str) else vec
+    n = F.size(vec).cast("double")
+    s = pearson_sum(vec)
+    ss = F.aggregate(vec, F.lit(0.0), lambda a, v: a + v * v)
+    return ss - s * s / n
+
+
+def pearson_with_stats(
+    x: Column | str,
+    y: Column | str,
+    sx: Column | str,
+    sy: Column | str,
+    vx: Column | str,
+    vy: Column | str,
+) -> Column:
+    """pearson(x, y) with the per-side sum and variance terms supplied as
+    columns (pearson_sum / pearson_var). Bit-identical to pearson(x, y):
+    the same IEEE ops in the same order, with four of the five interpreted
+    aggregates hoisted out of the per-pair expression (only the cross term
+    sxy depends on both sides)."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    sx = F.col(sx) if isinstance(sx, str) else sx
+    sy = F.col(sy) if isinstance(sy, str) else sy
+    vx = F.col(vx) if isinstance(vx, str) else vx
+    vy = F.col(vy) if isinstance(vy, str) else vy
     n = F.size(x).cast("double")
-    sx = F.aggregate(x, F.lit(0.0), lambda a, v: a + v)
-    sy = F.aggregate(y, F.lit(0.0), lambda a, v: a + v)
-    sxx = F.aggregate(x, F.lit(0.0), lambda a, v: a + v * v)
-    syy = F.aggregate(y, F.lit(0.0), lambda a, v: a + v * v)
     sxy = F.aggregate(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v
     )
     cov = sxy - sx * sy / n
-    varx = sxx - sx * sx / n
-    vary = syy - sy * sy / n
-    denom = F.sqrt(varx * vary)
+    denom = F.sqrt(vx * vy)
     raw = F.when(denom > 0.0, cov / denom)  # else NULL
     # snap to exact +/-1 so threshold=1.0 keeps exact matches (see module doc)
     return (
@@ -95,10 +130,27 @@ def cosine(x: Column | str, y: Column | str) -> Column:
     """Cosine similarity, JVM-side; NULL for zero-norm inputs."""
     x = F.col(x) if isinstance(x, str) else x
     y = F.col(y) if isinstance(y, str) else y
+    return cosine_with_norms(x, y, vector_norm(x), vector_norm(y))
+
+
+def cosine_with_norms(
+    x: Column | str, y: Column | str, nx: Column | str, ny: Column | str
+) -> Column:
+    """cosine(x, y) with the per-side norms supplied as columns. Value is
+    bit-identical to cosine(x, y) when nx/ny hold vector_norm(x)/(y) --
+    identical IEEE ops in identical order -- but a norm computed ONCE per
+    vector (in a materialized frame) replaces its re-evaluation inside
+    every per-pair expression copy: the `when` snap chain and any
+    pushed-down threshold filter textually duplicate the whole tree, so
+    inline norms cost 2 interpreted 64-element aggregates per copy."""
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    nx = F.col(nx) if isinstance(nx, str) else nx
+    ny = F.col(ny) if isinstance(ny, str) else ny
     dot = F.aggregate(
         F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda a, v: a + v
     )
-    denom = vector_norm(x) * vector_norm(y)
+    denom = nx * ny
     raw = F.when(denom > 0.0, dot / denom)
     return (
         F.when(raw > F.lit(1.0 - SNAP_EPS), F.lit(1.0))

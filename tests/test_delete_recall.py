@@ -342,3 +342,60 @@ def test_ivf_nprobe_monotone_recall(spark, sf_dir):
     # the dial must actually dial: probing 1/16th of the lists cannot
     # already be exact on a non-degenerate corpus
     assert recall[1] < 1.0, recall
+
+
+def test_buckets_single_pass_matches_union(spark, sf_dir):
+    """_buckets_single_pass (one posexplode pass) must emit exactly the
+    row multiset of the N_TABLES-branch union form it replaced for the
+    pair-building queries (r6 optimization; q_simhash_buckets keeps the
+    union form for count-pruning)."""
+    from go_lsh_spark import entry_queries as EQ
+
+    emb = EQ._emb_double(EQ._read(spark, sf_dir, "embeddings"))
+    cols = ["vec_id", "table_id", "hash"]
+    fp = lambda df: df.select(cols).groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.bit_xor(F.xxhash64(*cols)).alias("x"),
+        F.sum(F.xxhash64(*cols) % F.lit(10**12)).alias("s"),
+    ).collect()[0]
+    got = fp(EQ._buckets_single_pass(emb))
+    want = fp(EQ._buckets_from(emb))
+    assert (got.n, got.x, got.s) == (want.n, want.x, want.s)
+    assert EQ._buckets_single_pass(emb).schema == EQ._buckets_from(emb).schema
+
+
+def test_scoring_with_precomputed_stats_bit_identical(spark, sf_dir):
+    """cosine_with_norms / pearson_with_stats over per-vector columns must
+    be BIT-identical (no rounding tolerance) to the inline cosine/pearson
+    they replaced in the scoring queries: same IEEE ops in the same order,
+    just hoisted out of the per-pair expression."""
+    from go_lsh_spark import entry_queries as EQ
+    from go_lsh_spark.functions import vector as Vf
+
+    emb = EQ._emb_double(EQ._read(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "emb",
+        Vf.vector_norm("emb").alias("_nrm"),
+        Vf.pearson_sum("emb").alias("_ps"),
+        Vf.pearson_var("emb").alias("_pv"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("ia"), F.col("emb").alias("xa"),
+        F.col("_nrm").alias("na"), F.col("_ps").alias("sa"), F.col("_pv").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("ib"), F.col("emb").alias("xb"),
+        F.col("_nrm").alias("nb"), F.col("_ps").alias("sb"), F.col("_pv").alias("vb"),
+    )
+    # a deterministic sample of cross pairs, including self-pairs
+    pairs = a.join(b, (F.col("ia") % 29 == F.col("ib") % 29)).limit(5000)
+    mism = pairs.select(
+        Vf.cosine("xa", "xb").alias("c0"),
+        Vf.cosine_with_norms("xa", "xb", "na", "nb").alias("c1"),
+        Vf.pearson("xa", "xb").alias("p0"),
+        Vf.pearson_with_stats("xa", "xb", "sa", "sb", "va", "vb").alias("p1"),
+    ).filter(
+        (~F.col("c0").eqNullSafe(F.col("c1")))
+        | (~F.col("p0").eqNullSafe(F.col("p1")))
+    )
+    assert mism.count() == 0
