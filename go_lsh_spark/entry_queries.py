@@ -71,6 +71,23 @@ def _read(
     return df
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session's compute parallelism (never
+    below the configured shuffle width). For stages whose rows are a few
+    BYTES but cost heavy per-row expressions (array intersects, md5
+    chains), AQE's byte-based partition coalescing collapses the upstream
+    shuffle to one task and the whole pass runs single-threaded; an
+    explicit repartition is exempt from AQE coalescing and the exchange
+    moves only the tiny rows. Scale-adaptive by construction: the width
+    tracks cluster cores / configured shuffle partitions, not a constant."""
+    spark = df.sparkSession
+    par = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    return df.repartition(par)
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Compute a reused subtree once per query invocation: a LAZY local
     checkpoint materializes inside the query's own action and every other
@@ -829,8 +846,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it into the when() branches and the pushed-down filter, evaluating
     # array_intersect up to ~6x per candidate row (measured: the jaccard
     # step was 3.4s of the query's 4.7s at 14.8k candidates).
+    # the candidate table is a few bytes per row but each row costs an
+    # array_intersect over ~hundreds of shingles, so AQE coalesced the
+    # post-distinct shuffle to ONE task and the whole intersect pass ran
+    # single-threaded (measured 0.92s of the query's 2.1s) -- _spread it
     sized = _materialize(
-        cand.join(sa, "doc_id_a")
+        _spread(cand)
+        .join(sa, "doc_id_a")
         .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
