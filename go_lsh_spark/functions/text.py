@@ -242,8 +242,16 @@ def token_simhash_frame(
     The explode shuffles on nothing (narrow), and the groupBy is map-side
     combined on id -- at 100TB this is one shuffle keyed by doc id.
     """
-    toks = df.select(id_col, F.explode(whitespace_tokens(text_col)).alias("_tok"))
-    h = md5_int64("_tok")
+    # hash each token ONCE in a projection below the aggregate: inlining
+    # md5_int64(_tok) into every vote re-embedded the whole md5 chain in
+    # each of the `bits` sum expressions -- a 60x larger tree for Catalyst
+    # to analyze and codegen (and an eval per vote wherever subexpression
+    # elimination does not reach). Same values: bit j still tests
+    # shiftright(md5_int64(token), j) & 1.
+    toks = df.select(
+        id_col, F.explode(whitespace_tokens(text_col)).alias("_tok")
+    ).select(id_col, md5_int64("_tok").alias("_h"))
+    h = F.col("_h")
     votes = [
         F.sum(
             F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
