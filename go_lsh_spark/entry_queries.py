@@ -71,6 +71,9 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(schema).parquet(path)
 
 
+_SPREAD_CACHE: dict = {}
+
+
 def _read(
     spark: SparkSession, sf_dir: str, name: str, parallel: bool = True
 ) -> DataFrame:
@@ -85,8 +88,17 @@ def _read(
     # single-threaded. Spread the rows across the session's cores with one
     # tiny round-robin exchange -- gated on the MEASURED scan parallelism so
     # a wide production scan (many row groups / files) is left untouched.
+    # The measurement (df.rdd partition planning = a file listing + py4j
+    # round trip, ~100ms) is cached per (application, path): the file set
+    # backing a driver table does not change mid-session, and only the
+    # spread DECISION is cached -- every action still scans the files.
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    key = (spark.sparkContext.applicationId, os.path.join(sf_dir, name), par)
+    spread = _SPREAD_CACHE.get(key)
+    if spread is None:
+        spread = df.rdd.getNumPartitions() < par
+        _SPREAD_CACHE[key] = spread
+    if spread:
         df = df.repartition(par)
     return df
 
@@ -1480,23 +1492,88 @@ IVF_K = 16       # coarse centroids (deterministic seeded sample)
 IVF_NPROBE = 4   # centroid lists probed per query
 
 
+@lru_cache(maxsize=1)
+def _lloyd_mean_cols() -> tuple:
+    """The 64 per-element Lloyd-mean aggregate columns. Column objects are
+    plain reusable expression wrappers (the _plane_lit_cached device), and
+    building them costs ~300 py4j round trips -- which the frozen bench
+    times at every query construction."""
+    return tuple(
+        F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"_c{i}")
+        for i in range(EMB_DIM)
+    )
+
+
+@lru_cache(maxsize=1)
+def _lloyd_cemb_col():
+    return F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("cemb")
+
+
+@lru_cache(maxsize=1)
+def _ivf_best_col():
+    """The argmin fold of _ivf_assign as a cached Column (it references
+    only the fixed column names `emb` and `_cents`)."""
+    init = F.struct(F.lit(float("inf")).alias("_d"), F.lit(-1).alias("cid"))
+
+    def _better(acc, c):
+        d = V.dot(F.col("emb"), c["cemb"]) * F.lit(-2.0) + c["_c2"]
+        return F.when(
+            d < acc["_d"], F.struct(d.alias("_d"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    return F.aggregate(F.col("_cents"), init, _better)
+
+
+@lru_cache(maxsize=None)
+def _ivf_probe_col(probe_n: int):
+    """The sorted-probe-slice column of _ann_ivf_from, cached per nprobe
+    (references only the fixed column names `qemb` and `_cents`)."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                "_cents",
+                lambda c: F.struct(
+                    (V.dot(F.col("qemb"), c["cemb"]) * F.lit(-2.0) + c["_c2"]).alias(
+                        "_d"
+                    ),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        probe_n,
+    )
+
+
+def _cent_fold(cent: DataFrame) -> DataFrame:
+    """The centroid table folded into ONE row carrying a cid-sorted struct
+    array. Tiny by construction (IVF_K entries), so the fold is a
+    broadcast-sized aggregate; downstream consumers scan the array inside
+    a projection instead of joining the 16-row table."""
+    return cent.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "cemb", "_c2"))).alias("_cents")
+    )
+
+
 def _ivf_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the tiny centroid table, one
-    min_by groupBy on vec_id -- no shuffle of the big side beyond it.
-    cent carries `_c2` = <c,c> precomputed once per centroid (16 rows, at
-    broadcast build) instead of re-evaluating the 64-element self-dot per
-    (vector, centroid) pair -- same double, bit-identical distances."""
-    dist = V.dot("emb", "cemb") * F.lit(-2.0) + F.col("_c2")  # ||c||^2 - 2<v,c>
+    """Nearest-centroid assignment as a MAP-ONLY projection: the tiny
+    centroid table folds into one broadcast row (cid-sorted struct array,
+    _cent_fold) and each vector's argmin runs inside the projection -- no
+    K-times crossJoin row expansion and no groupBy(vec_id) exchange, which
+    at bench scale cost an AQE stage + job per assignment pass and at
+    corpus scale would shuffle the whole vector table once per Lloyd pass.
+    cent carries `_c2` = <c,c> precomputed once per centroid instead of
+    re-evaluating the 64-element self-dot per (vector, centroid) pair.
+
+    Bit-identical to the min_by form it replaces: distances are the same
+    IEEE ops in the same order (dot * -2.0 + _c2), and the fold iterates
+    in cid order keeping the first strict minimum, which is exactly
+    min_by(cid, struct(_d, cid)) -- lowest distance, ties to the lowest
+    cid (equality pinned in tests/test_delete_recall.py)."""
     carry = ["_nrm"] if "_nrm" in emb.columns else []
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select("vec_id", "emb", "cid", dist.alias("_d"), *carry)
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
-            F.first("emb").alias("emb"),
-            *[F.first(c).alias(c) for c in carry],
-        )
+    best = _ivf_best_col()
+    return emb.crossJoin(F.broadcast(_cent_fold(cent))).select(
+        "vec_id", best["cid"].alias("cid"), "emb", *carry
     )
 
 
@@ -1547,21 +1624,18 @@ def _ivf_assignments(
         # multiset, rounded to 6dp exactly as before), one less exchange
         cent = _materialize(
             assigned.groupBy("cid")
-            .agg(
-                *[
-                    F.round(F.avg(F.element_at("emb", i + 1)), 6).alias(f"_c{i}")
-                    for i in range(EMB_DIM)
-                ]
-            )
-            .select(
-                "cid",
-                F.array(*[F.col(f"_c{i}") for i in range(EMB_DIM)]).alias("cemb"),
-            )
+            .agg(*_lloyd_mean_cols())
+            .select("cid", _lloyd_cemb_col())
             .withColumn("_c2", V.dot("cemb", "cemb"))
         )
         assigned = _ivf_assign(emb, cent)
-    # the final assignment feeds the query side AND the candidate lists
-    return emb, cent, _materialize(assigned)
+    # the final assignment feeds the query side AND the candidate lists, but
+    # is NOT materialized: post-restructure it is a map-only projection over
+    # the already-materialized emb with a reused broadcast (recompute per
+    # consumer is one cheap fold pass), and dropping the boundary removes a
+    # serialized localCheckpoint job from every IVF query (measured: -0.15s
+    # and 13 -> 11 jobs on ann_recall_ivf, neutral on ann_ivf)
+    return emb, cent, assigned
 
 
 def q_ann_ivf(
@@ -1595,18 +1669,18 @@ def _ann_ivf_from(cent: DataFrame, assigned: DataFrame, probe_n: int) -> DataFra
         F.col("emb").alias("qemb"),
         F.col("_nrm").alias("_qn"),
     )
-    qdist = V.dot("qemb", "cemb") * F.lit(-2.0) + F.col("_c2")
+    # nearest-probe_n centroid lists per query, computed INSIDE a projection
+    # over the same broadcast centroid array the assignment pass uses:
+    # array_sort on (distance, cid) structs is lexicographic ascending --
+    # exactly the row_number window's orderBy(_d asc, cid asc) -- and the
+    # first probe_n elements are the rows that window kept, without its
+    # partitionBy(query_id) exchange (an AQE stage + job for ~N_QUERIES
+    # rows at bench scale; a full query-table shuffle at corpus scale).
+    probe_struct = _ivf_probe_col(probe_n)
     probes = (
-        q.crossJoin(F.broadcast(cent))
-        .select("query_id", "qemb", "_qn", "cid", qdist.alias("_d"))
-        .withColumn(
-            "_r",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.col("_d").asc(), F.col("cid").asc())
-            ),
-        )
-        .filter(F.col("_r") <= probe_n)
-        .select("query_id", "qemb", "_qn", "cid")
+        q.crossJoin(F.broadcast(_cent_fold(cent)))
+        .select("query_id", "qemb", "_qn", F.explode(probe_struct).alias("_p"))
+        .select("query_id", "qemb", "_qn", F.col("_p.cid").alias("cid"))
     )
     cands = probes.join(
         assigned.select(

@@ -364,6 +364,77 @@ def test_buckets_single_pass_matches_union(spark, sf_dir):
     assert EQ._buckets_single_pass(emb).schema == EQ._buckets_from(emb).schema
 
 
+def test_ivf_fold_assign_and_probe_match_joined_forms(spark, sf_dir):
+    """The r6 IVF restructure (argmin fold over a broadcast centroid array,
+    sorted-slice probes) must reproduce EXACTLY the rows of the
+    crossJoin+min_by assignment and the row_number-window probe selection
+    it replaced -- same distances (same IEEE ops, same order), ties to the
+    lowest cid."""
+    from pyspark.sql.window import Window
+
+    from go_lsh_spark import entry_queries as EQ
+    from go_lsh_spark.functions import vector as Vf
+
+    emb = EQ._emb_mat(spark, sf_dir, norm=True)
+    n = EQ._read(spark, sf_dir, "embeddings", parallel=False).count()
+    step = max(n // EQ.IVF_K, 1)
+    cent = (
+        emb.filter((F.col("vec_id") % step == 0) & (F.col("vec_id") / step < EQ.IVF_K))
+        .select(
+            (F.col("vec_id") / step).cast("int").alias("cid"),
+            F.col("emb").alias("cemb"),
+        )
+        .withColumn("_c2", Vf.dot("cemb", "cemb"))
+    )
+    # -- assignment: fold form vs the min_by groupBy form it replaced
+    dist = Vf.dot("emb", "cemb") * F.lit(-2.0) + F.col("_c2")
+    old = (
+        emb.crossJoin(F.broadcast(cent))
+        .select("vec_id", "emb", "cid", dist.alias("_d"), "_nrm")
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("_d"), F.col("cid"))).alias("cid"),
+            F.first("emb").alias("emb"),
+            F.first("_nrm").alias("_nrm"),
+        )
+    )
+    new = EQ._ivf_assign(emb, cent)
+    assert new.columns == ["vec_id", "cid", "emb", "_nrm"]
+    got = {(r["vec_id"], r["cid"]) for r in new.select("vec_id", "cid").collect()}
+    want = {(r["vec_id"], r["cid"]) for r in old.select("vec_id", "cid").collect()}
+    assert got == want
+    # -- probes: sorted-slice form vs the row_number window form
+    q = new.filter(F.col("vec_id") < EQ.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("emb").alias("qemb"),
+        F.col("_nrm").alias("_qn"),
+    )
+    for probe_n in (1, EQ.IVF_NPROBE):
+        qdist = Vf.dot("qemb", "cemb") * F.lit(-2.0) + F.col("_c2")
+        old_probes = (
+            q.crossJoin(F.broadcast(cent))
+            .select("query_id", "cid", qdist.alias("_d"))
+            .withColumn(
+                "_r",
+                F.row_number().over(
+                    Window.partitionBy("query_id").orderBy(
+                        F.col("_d").asc(), F.col("cid").asc()
+                    )
+                ),
+            )
+            .filter(F.col("_r") <= probe_n)
+            .select("query_id", "cid")
+        )
+        new_probes = (
+            q.crossJoin(F.broadcast(EQ._cent_fold(cent)))
+            .select("query_id", F.explode(EQ._ivf_probe_col(probe_n)).alias("_p"))
+            .select("query_id", F.col("_p.cid").alias("cid"))
+        )
+        got_p = {(r["query_id"], r["cid"]) for r in new_probes.collect()}
+        want_p = {(r["query_id"], r["cid"]) for r in old_probes.collect()}
+        assert got_p == want_p, probe_n
+
+
 def test_scoring_with_precomputed_stats_bit_identical(spark, sf_dir):
     """cosine_with_norms / pearson_with_stats over per-vector columns must
     be BIT-identical (no rounding tolerance) to the inline cosine/pearson
