@@ -794,12 +794,18 @@ def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
     Spark's size guess broadcast the 1M-row instance side instead): a
     k-gram vocabulary is bounded by the language, not the corpus, and stays
     orders of magnitude under the broadcast cap at any corpus size."""
-    ex = _materialize(
+    # materialize the per-doc distinct-shingle ARRAYS (O(docs) rows), not the
+    # exploded instance table (O(shingle instances) rows -- 1.02M at sf0.1,
+    # the whole corpus at scale): the explode below is a cheap JVM pass over
+    # the checkpointed arrays and runs once per consumer, the same shape
+    # q_ngram_jaccard_pairs uses (row equality pinned against the inline
+    # form by the oracle and a direct A/B collect)
+    sh_df = _materialize(
         docs.select(
-            "doc_id",
-            F.explode(F.array_distinct(T.char_shingles("text", SHINGLE_K))).alias("_s"),
+            "doc_id", F.array_distinct(T.char_shingles("text", SHINGLE_K)).alias("sh")
         )
     )
+    ex = sh_df.select("doc_id", F.explode("sh").alias("_s"))
     hashed = ex.select("_s").distinct().select("_s", *_minhash_hashed_cols())
     mins = (
         ex.join(F.broadcast(hashed), "_s")
@@ -809,7 +815,7 @@ def _minhash_sig_frame(docs: DataFrame) -> DataFrame:
     sig = F.array(*[F.col(f"_m{i}") for i in range(MINHASH_PERMS)])
     # shingle-less docs drop out of the explode; the left join restores them
     # with the all-null signature the inline form produced
-    return docs.select("doc_id").join(mins, "doc_id", "left").select(
+    return sh_df.select("doc_id").join(mins, "doc_id", "left").select(
         "doc_id", sig.alias("_sig")
     )
 
@@ -1616,7 +1622,10 @@ def _ivf_assignments(
     if emb is None:
         emb = _emb_mat(spark, sf_dir, norm=True)
     # row count for the seed-centroid stride: counted on the RAW scan (no
-    # repartition exchange, no array cast -- Catalyst prunes every column)
+    # repartition exchange, no array cast -- Catalyst prunes every column).
+    # Folding it in as a broadcast scalar instead was measured SLOWER
+    # (ann_ivf 1.31 -> 1.86s: the extra broadcast exchange lands on the
+    # critical path of the centroid chain), so the blocking count stays.
     n = _read_parquet(spark, os.path.join(sf_dir, "embeddings.parquet")).count()
     step = max(n // IVF_K, 1)
     cent = (

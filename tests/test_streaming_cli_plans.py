@@ -304,11 +304,31 @@ def test_streaming_incremental_dedup_at_scale(spark, tmp_path):
     # by a degraded window, passing in isolation)
     early = min(r["wall_secs"] for r in records[:4])
     late = min(r["wall_secs"] for r in records[-4:])
-    assert late <= 1.6 * early, (
-        f"per-batch wall grew {early:.1f}s -> {late:.1f}s over "
-        f"{len(records)} fixed-size batches: "
-        f"{[r['wall_secs'] for r in records]}"
-    )
+    if late > 1.6 * early:
+        # a storm that starts MID-STREAM defeats even window minima (every
+        # late-window batch is inflated; observed in-suite: 5.9s -> 9.6s
+        # minima under a burn-0.72 window, passing isolated right after).
+        # Apply the benches' protocol (r5 verdict: "gate it on the same
+        # burn measurement"): measure the host burn NOW and skip the
+        # flatness claim -- not the state-equality assertions below --
+        # when the window is degraded. A real O(corpus) regression still
+        # fails in any healthy window.
+        from bench import BURN_REF_UNITS_PER_SEC, measure_host_burn
+
+        eff = measure_host_burn() / BURN_REF_UNITS_PER_SEC
+        assert eff < 0.9, (
+            f"per-batch wall grew {early:.1f}s -> {late:.1f}s over "
+            f"{len(records)} fixed-size batches in a HEALTHY window "
+            f"(burn {eff:.2f}): "
+            f"{[r['wall_secs'] for r in records]}"
+        )
+        import warnings
+
+        warnings.warn(
+            f"flatness assertion skipped: degraded host window "
+            f"(burn {eff:.2f}); walls {[r['wall_secs'] for r in records]}",
+            stacklevel=1,
+        )
 
     batch = dedup_pipeline(spark, clips, cfg)
     exp = {r.clip_id: r.cluster_id for r in batch.clusters.collect()}
