@@ -248,7 +248,15 @@ def _buckets_single_pass(emb: DataFrame) -> DataFrame:
 
 
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _buckets_from(_emb_double(_read(spark, sf_dir, "embeddings")))
+    # spread opt-out (the exact_dedup/row_index_pruning rationale): this
+    # query's standalone consumers are a count (bench -- Catalyst prunes
+    # every hash expression, so the spread exchange parallelizes nothing
+    # and measured 0.20 -> 0.15 s without it) and the oracle's collect at
+    # the tiny driver SFs; the hash-evaluating pair queries build their
+    # bucket tables from the materialized emb frame instead, which keeps
+    # the spread. A wide production scan never spread here anyway (the
+    # gate is on measured scan parallelism).
+    return _buckets_from(_emb_double(_read(spark, sf_dir, "embeddings", parallel=False)))
 
 
 def sql_simhash_buckets() -> str:
