@@ -656,7 +656,10 @@ def sql_exact_dedup() -> str:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
+    # spread opt-out (the simhash_buckets rationale): a pure projection
+    # whose bench count prunes both token expressions, so the spread
+    # exchange parallelizes nothing this query's consumers evaluate
+    docs = _read(spark, sf_dir, "documents", parallel=False)
     return docs.select(
         "doc_id",
         T.token_count("text").alias("ws_tokens"),
